@@ -1,0 +1,46 @@
+"""Architecture registry (ref:generalframework/arch/__init__.py:39-81).
+
+String → flax module constructor. The reference registers 14 archs; the
+TPU rebuild ships the ones its experiment configs exercise (enet — every
+medical config; unet/unet_bn — alternates) and grows the registry as further
+families land. ``get_arch`` returns a *module definition*; parameters are
+created by ``Segmentator`` (init is where the reference applies weights_init —
+here init parity is baked into each module's kernel/scale initializers).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+from flax import linen as nn
+
+from .enet import Enet
+from .unet import UNet
+
+ARCH_CALLABLES: Dict[str, Any] = {}
+
+
+def _register_arch(name: str, callable_, alias=None) -> None:
+    if name in ARCH_CALLABLES:
+        raise ValueError(f"{name} already exists!")
+    ARCH_CALLABLES[name] = callable_
+    if alias:
+        for other in ([alias] if isinstance(alias, str) else alias):
+            if other in ARCH_CALLABLES:
+                raise ValueError(f"alias {other} for {name} already exists!")
+            ARCH_CALLABLES[other] = callable_
+
+
+_register_arch("enet", Enet)
+_register_arch("unet", lambda **kw: UNet(use_bn=False, **kw))
+_register_arch("unet_bn", lambda **kw: UNet(use_bn=True, **kw))
+
+
+def get_arch(arch: str, kwargs: Dict[str, Any]) -> nn.Module:
+    """Build a module definition from a config dict (ref:arch/__init__.py:68-81)."""
+    kwargs = {k: v for k, v in kwargs.items() if k != "arch"}
+    ctor = ARCH_CALLABLES.get(arch)
+    assert ctor, f"Architecture {arch} is not found! Available: {sorted(ARCH_CALLABLES)}"
+    return ctor(**kwargs)
+
+
+from .segmentator import Segmentator, SegState, stack_states, unstack_states  # noqa: E402,F401

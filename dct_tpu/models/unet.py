@@ -1,0 +1,103 @@
+"""Classic valid-conv UNet / UNet_bn in flax/NHWC
+(ref:generalframework/arch/network.py:114-290).
+
+Structure parity: encoder stages of two valid 3x3 convs (+optional BN) + ReLU
+with 2x2 ceil-mode max-pool; center with dropout; decoder stages of two valid
+3x3 convs + 2x-transposed-conv; skip connections bilinearly resized to the
+running feature size; final 1x1 conv bilinearly resized back to the input
+size. (torch's F.upsample_bilinear is align_corners=True; jax.image.resize
+uses half-pixel centers — an intentional, documented divergence.)
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import batch_norm, conv_kernel_init
+
+
+def _resize_bilinear(x: jnp.ndarray, hw) -> jnp.ndarray:
+    return jax.image.resize(x, (x.shape[0], hw[0], hw[1], x.shape[-1]), "bilinear")
+
+
+def _ceil_maxpool(x: jnp.ndarray) -> jnp.ndarray:
+    """torch MaxPool2d(2,2, ceil_mode=True): pad bottom/right only."""
+    h, w = x.shape[1], x.shape[2]
+    ph, pw = h % 2, w % 2
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                    constant_values=-jnp.inf)
+    return nn.max_pool(x, (2, 2), strides=(2, 2), padding="VALID")
+
+
+class _DoubleConv(nn.Module):
+    features: int
+    use_bn: bool = False
+    bn_second: bool = True   # UNetDec_bn omits BN on the 2nd conv (ref:network.py:178-182)
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.Conv(self.features, (3, 3), padding="VALID",
+                    kernel_init=conv_kernel_init)(x)
+        if self.use_bn:
+            x = batch_norm(train)(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.features, (3, 3), padding="VALID",
+                    kernel_init=conv_kernel_init)(x)
+        if self.use_bn and self.bn_second:
+            x = batch_norm(train)(x)
+        x = nn.relu(x)
+        return x
+
+
+class _Enc(nn.Module):
+    """Decoder-side stage: double conv + 2x transposed conv (ref UNetEnc)."""
+
+    features: int
+    out_channels: int
+    use_bn: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = _DoubleConv(self.features, self.use_bn)(x, train)
+        x = nn.ConvTranspose(self.out_channels, (2, 2), strides=(2, 2),
+                             padding="VALID", kernel_init=conv_kernel_init)(x)
+        return nn.relu(x)
+
+
+class UNet(nn.Module):
+    num_classes: int = 2
+    in_channels: int = 1
+    use_bn: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        bn = self.use_bn
+        dec1 = _DoubleConv(64, bn, bn_second=not bn, name="dec1")(x, train)
+        d1 = _ceil_maxpool(dec1)
+        dec2 = _DoubleConv(128, bn, bn_second=not bn, name="dec2")(d1, train)
+        d2 = _ceil_maxpool(dec2)
+        dec3 = _DoubleConv(256, bn, bn_second=not bn, name="dec3")(d2, train)
+        d3 = _ceil_maxpool(dec3)
+        dec4 = _DoubleConv(512, bn, bn_second=not bn, name="dec4")(d3, train)
+        dec4 = nn.Dropout(0.5, deterministic=not train)(dec4)
+        d4 = _ceil_maxpool(dec4)
+
+        center = _DoubleConv(1024, bn, name="center")(d4, train)
+        center = nn.Dropout(0.5, deterministic=not train)(center)
+        center = nn.ConvTranspose(512, (2, 2), strides=(2, 2), padding="VALID",
+                                  kernel_init=conv_kernel_init, name="center_up")(center)
+        center = nn.relu(center)
+
+        h = _Enc(512, 256, bn, name="enc4")(
+            jnp.concatenate([center, _resize_bilinear(dec4, center.shape[1:3])], -1), train)
+        h = _Enc(256, 128, bn, name="enc3")(
+            jnp.concatenate([h, _resize_bilinear(dec3, h.shape[1:3])], -1), train)
+        h = _Enc(128, 64, bn, name="enc2")(
+            jnp.concatenate([h, _resize_bilinear(dec2, h.shape[1:3])], -1), train)
+        h = _DoubleConv(64, bn, bn_second=not bn, name="enc1")(
+            jnp.concatenate([h, _resize_bilinear(dec1, h.shape[1:3])], -1), train)
+        logits = nn.Conv(self.num_classes, (1, 1), kernel_init=conv_kernel_init,
+                         name="final")(h)
+        return _resize_bilinear(logits, x.shape[1:3])

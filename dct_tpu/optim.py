@@ -1,0 +1,116 @@
+"""Optimizer builders (torch-semantics, optax core).
+
+The reference builds optimizers by name from ``torch.optim`` plus a vendored
+AdaBound (ref:generalframework/models/segmentators.py:37-41,
+ref:generalframework/optim/adabound.py). Contract here: ``build_optimizer``
+returns an **lr-less** ``optax.GradientTransformation`` producing a descent
+*direction*; the train step applies ``params -= lr(epoch) * direction`` with
+the lr supplied as a traced scalar each step — so LR schedules live outside
+the compiled graph and resume for free.
+
+torch-parity notes:
+* ``Adam(weight_decay=w)`` is L2-regularization *into the moments* (not AdamW):
+  ``add_decayed_weights`` is chained BEFORE ``scale_by_adam``.
+* ``AdamW`` decays after the moments, scaled by lr: handled by a flag the
+  step applies (decay folded into the direction here, matching optax.adamw).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def _maybe_l2(weight_decay: float) -> optax.GradientTransformation:
+    if weight_decay:
+        return optax.add_decayed_weights(weight_decay)
+    return optax.identity()
+
+
+class AdaBoundState(NamedTuple):
+    count: jnp.ndarray
+    mu: Any
+    nu: Any
+
+
+def scale_by_adabound(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+                      final_lr_ratio: float = 100.0, gamma: float = 1e-3,
+                      amsbound: bool = False) -> optax.GradientTransformation:
+    """AdaBound (dynamic-bound Adam→SGD, ref:generalframework/optim/adabound.py:6-117)
+    as an lr-relative direction: bounds are expressed as multiples of the
+    base lr (``final_lr_ratio`` = final_lr / base_lr, reference default
+    0.1/0.001 = 100)."""
+
+    def init(params):
+        mu = jax.tree_util.tree_map(jnp.zeros_like, params)
+        nu = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return AdaBoundState(jnp.zeros([], jnp.int32), mu, nu)
+
+    def update(updates, state, params=None):
+        del params
+        count = state.count + 1
+        mu = jax.tree_util.tree_map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates)
+        nu = jax.tree_util.tree_map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, updates)
+        t = count.astype(jnp.float32)
+        bc1 = 1 - b1 ** t
+        bc2 = 1 - b2 ** t
+        # bounds relative to base lr (torch: final_lr scaled by lr ratio)
+        lower = final_lr_ratio * (1 - 1 / (gamma * t + 1))
+        upper = final_lr_ratio * (1 + 1 / (gamma * t))
+
+        def direction(m, v):
+            denom = jnp.sqrt(v) / jnp.sqrt(bc2) + eps
+            step = jnp.clip((1.0 / bc1) / denom, lower, upper)
+            return step * m
+        dirs = jax.tree_util.tree_map(direction, mu, nu)
+        return dirs, AdaBoundState(count, mu, nu)
+
+    return optax.GradientTransformation(init, update)
+
+
+def build_optimizer(optim_dict: Dict[str, Any]) -> optax.GradientTransformation:
+    """Config dict {'name': 'Adam', 'lr': ..., ...} → lr-less direction tx."""
+    name = optim_dict["name"]
+    wd = float(optim_dict.get("weight_decay", 0.0))
+    if name == "Adam":
+        betas = optim_dict.get("betas", (0.9, 0.999))
+        eps = float(optim_dict.get("eps", 1e-8))
+        return optax.chain(_maybe_l2(wd),
+                           optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+    if name == "AdamW":
+        betas = optim_dict.get("betas", (0.9, 0.999))
+        eps = float(optim_dict.get("eps", 1e-8))
+        return optax.chain(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps),
+                           optax.add_decayed_weights(wd) if wd else optax.identity())
+    if name == "SGD":
+        momentum = float(optim_dict.get("momentum", 0.0))
+        nesterov = bool(optim_dict.get("nesterov", False))
+        chain = [_maybe_l2(wd)]
+        if momentum:
+            chain.append(optax.trace(decay=momentum, nesterov=nesterov))
+        return optax.chain(*chain)
+    if name == "RMSprop":
+        alpha = float(optim_dict.get("alpha", 0.99))
+        eps = float(optim_dict.get("eps", 1e-8))
+        return optax.chain(_maybe_l2(wd), optax.scale_by_rms(decay=alpha, eps=eps))
+    if name in ("AdaBound", "AdaBoundW"):
+        base_lr = float(optim_dict["lr"])
+        final_lr = float(optim_dict.get("final_lr", 0.1))
+        return optax.chain(
+            _maybe_l2(wd),
+            scale_by_adabound(
+                b1=optim_dict.get("betas", (0.9, 0.999))[0],
+                b2=optim_dict.get("betas", (0.9, 0.999))[1],
+                eps=float(optim_dict.get("eps", 1e-8)),
+                final_lr_ratio=final_lr / base_lr,
+                gamma=float(optim_dict.get("gamma", 1e-3)),
+            ))
+    raise KeyError(f"unknown optimizer {name!r}")
+
+
+def apply_direction(params, direction, lr):
+    """params ← params − lr·direction (lr is a traced scalar)."""
+    return jax.tree_util.tree_map(
+        lambda p, d: p - lr * d.astype(p.dtype), params, direction)

@@ -1,0 +1,91 @@
+"""Fixture tests for pooling ops (torch MaxPool2d/MaxUnpool2d parity) and warps."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dct_tpu.ops import affine_warp, make_affine, max_pool_2x2_with_mask, mask_unpool_2x2
+from dct_tpu.ops.pooling import max_pool_2x2
+
+
+class TestPooling:
+    def test_hand_fixture(self):
+        # 4x4 single channel; windows: [[1,2],[3,4]] etc.
+        x = jnp.asarray(np.array([
+            [1, 2, 5, 6],
+            [3, 4, 7, 8],
+            [9, 10, 13, 14],
+            [11, 12, 15, 16],
+        ], np.float32))[None, :, :, None]
+        pooled, mask = max_pool_2x2_with_mask(x)
+        assert np.allclose(np.asarray(pooled)[0, :, :, 0], [[4, 8], [12, 16]])
+        # argmax of each window is its bottom-right element here
+        expect_mask = np.zeros((4, 4))
+        expect_mask[1, 1] = expect_mask[1, 3] = expect_mask[3, 1] = expect_mask[3, 3] = 1
+        assert np.allclose(np.asarray(mask)[0, :, :, 0], expect_mask)
+        up = mask_unpool_2x2(pooled, mask)
+        expect_up = np.zeros((4, 4))
+        expect_up[1, 1], expect_up[1, 3], expect_up[3, 1], expect_up[3, 3] = 4, 8, 12, 16
+        assert np.allclose(np.asarray(up)[0, :, :, 0], expect_up)
+
+    def test_tie_break_first_rowmajor(self):
+        x = jnp.ones((1, 2, 2, 1))
+        pooled, mask = max_pool_2x2_with_mask(x)
+        m = np.asarray(mask)[0, :, :, 0]
+        assert m[0, 0] == 1 and m.sum() == 1  # first element in row-major order
+
+    def test_mask_is_onehot_per_window(self, rng):
+        x = jax.random.normal(rng, (3, 16, 16, 8))
+        _, mask = max_pool_2x2_with_mask(x)
+        window_sums = np.asarray(mask).reshape(3, 8, 2, 8, 2, 8).sum(axis=(2, 4))
+        assert np.allclose(window_sums, 1.0)
+
+    def test_matches_plain_pool(self, rng):
+        x = jax.random.normal(rng, (2, 8, 8, 4))
+        p1, _ = max_pool_2x2_with_mask(x)
+        assert np.allclose(np.asarray(p1), np.asarray(max_pool_2x2(x)))
+
+    def test_grad_flows_through_unpool(self, rng):
+        x = jax.random.normal(rng, (1, 4, 4, 1))
+
+        def f(x):
+            p, m = max_pool_2x2_with_mask(x)
+            return jnp.sum(mask_unpool_2x2(p * 2.0, m))
+        g = np.asarray(jax.grad(f)(x))
+        # gradient is 2 exactly at each window argmax, 0 elsewhere
+        assert np.allclose(np.sort(g.flatten())[-4:], 2.0)
+        assert np.allclose(g.sum(), 8.0)
+
+
+class TestWarp:
+    def test_identity(self, rng):
+        img = jax.random.normal(rng, (8, 8))
+        out = affine_warp(img, make_affine(), "bilinear")
+        assert np.allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+    def test_flip_lr(self, rng):
+        img = jax.random.normal(rng, (8, 8))
+        out = affine_warp(img, make_affine(flip_lr=True), "nearest")
+        assert np.allclose(np.asarray(out), np.asarray(img)[:, ::-1], atol=1e-5)
+
+    def test_flip_ud(self, rng):
+        img = jax.random.normal(rng, (8, 8))
+        out = affine_warp(img, make_affine(flip_ud=True), "nearest")
+        assert np.allclose(np.asarray(out), np.asarray(img)[::-1, :], atol=1e-5)
+
+    def test_rotate_180(self, rng):
+        img = jax.random.normal(rng, (9, 9))
+        out = affine_warp(img, make_affine(angle_deg=180.0), "nearest")
+        assert np.allclose(np.asarray(out), np.asarray(img)[::-1, ::-1], atol=1e-4)
+
+    def test_nearest_preserves_labels(self, rng):
+        gt = jax.random.randint(rng, (16, 16), 0, 4).astype(jnp.float32)
+        out = affine_warp(gt, make_affine(angle_deg=30.0), "nearest")
+        vals = set(np.unique(np.asarray(out)).tolist())
+        assert vals.issubset({0.0, 1.0, 2.0, 3.0})
+
+    def test_zoom_crop_center(self):
+        # zoom 2x on a constant-gradient image: center preserved
+        img = jnp.arange(64.0).reshape(8, 8)
+        out = affine_warp(img, make_affine(zoom_y=2.0, zoom_x=2.0), "bilinear")
+        assert abs(float(out[4, 4]) - float(img[4, 4])) < 10.0
+        assert np.isfinite(np.asarray(out)).all()
