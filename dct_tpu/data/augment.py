@@ -1,0 +1,82 @@
+"""On-device batched augmentation, PRNG-key driven.
+
+TPU rebuild of the reference's host-side PILaugment
+(ref:generalframework/dataset/augment.py:246-266): per sample, independently
+with p=0.5 each — vertical flip, horizontal mirror, rotation U(-45°,45°),
+and crop of scale U(0.85,0.95) at a uniform position (resized back).
+
+All four compose into ONE affine matrix per sample (flips = sign flips,
+crop+resize = zoom+shift), executed as a single fused gather per image
+(dct_tpu.ops.warp). Images sample bilinearly, labels nearest. Mean-teacher's
+"replay the same augmentation" trick (ref:augment.py:16-29 temporary_seed)
+becomes: reuse the same PRNG key / thetas.
+
+Divergence note: the reference rotates with NEAREST and then crop-resizes with
+BILINEAR as two separate resamplings; composing them into one warp changes
+interpolation details (not statistics). Documented intentional.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.warp import affine_warp
+
+
+def sample_aug_thetas(key: jax.Array, n: int, height: int, width: int) -> jnp.ndarray:
+    """Per-sample (n,2,3) affine matrices following PILaugment's distribution."""
+    k_fud, k_flr, k_dorot, k_ang, k_docrop, k_crop, k_oy, k_ox = jax.random.split(key, 8)
+    flip_ud = jax.random.bernoulli(k_fud, 0.5, (n,))
+    flip_lr = jax.random.bernoulli(k_flr, 0.5, (n,))
+    do_rot = jax.random.bernoulli(k_dorot, 0.5, (n,))
+    angle = jnp.where(do_rot, jax.random.uniform(k_ang, (n,), minval=-45.0, maxval=45.0), 0.0)
+    do_crop = jax.random.bernoulli(k_docrop, 0.5, (n,))
+    crop = jnp.where(do_crop, jax.random.uniform(k_crop, (n,), minval=0.85, maxval=0.95), 1.0)
+    # crop offset: x_pos ~ U(0, W - cropW) → centered offset (ref:augment.py:255-264)
+    off_y = jnp.where(do_crop,
+                      (jax.random.uniform(k_oy, (n,)) - 0.5) * (1.0 - crop) * height, 0.0)
+    off_x = jnp.where(do_crop,
+                      (jax.random.uniform(k_ox, (n,)) - 0.5) * (1.0 - crop) * width, 0.0)
+
+    def build(fud, flr, ang, cr, oy, ox):
+        rad = jnp.deg2rad(ang)
+        c, s = jnp.cos(rad), jnp.sin(rad)
+        rot = jnp.array([[1.0, 0.0], [0.0, 1.0]]) * 0.0
+        rot = jnp.stack([jnp.stack([c, -s]), jnp.stack([s, c])])
+        flips = jnp.stack([
+            jnp.stack([jnp.where(fud, -1.0, 1.0), jnp.zeros(())]),
+            jnp.stack([jnp.zeros(()), jnp.where(flr, -1.0, 1.0)]),
+        ])
+        # composition: output→input = Flip ∘ Rotate ∘ CropZoom
+        lin = flips @ rot * cr
+        t = flips @ rot @ jnp.stack([oy, ox])
+        return jnp.concatenate([lin, t[:, None]], axis=1)
+
+    return jax.vmap(build)(flip_ud, flip_lr, angle, crop, off_y, off_x)
+
+
+def augment_batch(img: jnp.ndarray, gt: jnp.ndarray, key: jax.Array
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Jointly augment (B,H,W[,1]) float images and (B,H,W) int labels."""
+    squeeze_c = img.ndim == 4
+    im = img[..., 0] if squeeze_c else img
+    b, h, w = im.shape
+    thetas = sample_aug_thetas(key, b, h, w)
+    im_a = jax.vmap(affine_warp, in_axes=(0, 0, None, None))(im, thetas, "bilinear", 0.0)
+    gt_a = jax.vmap(affine_warp, in_axes=(0, 0, None, None))(
+        gt.astype(jnp.float32), thetas, "nearest", 0.0).astype(gt.dtype)
+    if squeeze_c:
+        im_a = im_a[..., None]
+    return im_a, gt_a
+
+
+def apply_thetas(x: jnp.ndarray, thetas: jnp.ndarray, method: str = "bilinear"
+                 ) -> jnp.ndarray:
+    """Warp (B,H,W,C) or (B,H,W) by given per-sample thetas — used to replay a
+    student augmentation on teacher predictions (mean-teacher,
+    ref:mean_teacher_trainer.py:168-173)."""
+    if x.ndim == 4:
+        return jax.vmap(affine_warp, in_axes=(0, 0, None, None))(x, thetas, method, 0.0)
+    return jax.vmap(affine_warp, in_axes=(0, 0, None, None))(x, thetas, method, 0.0)

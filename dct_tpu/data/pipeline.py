@@ -1,0 +1,129 @@
+"""Device-resident data pipeline: one HBM upload, index-gather batching.
+
+The reference feeds training through forked DataLoader workers doing per-item
+PIL decode + host→device copies every batch (ref:config/ACDC_config_cotraing.yaml:25,
+ref:cotraining_totalloss.py:209-222). The TPU pipeline uploads the packed
+uint8 arrays to HBM once; a "batch" is then an int32 index array and the
+gather happens inside the jitted step (followed by on-device normalize +
+augment). Host work per epoch: one permutation.
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dataset import MedicalImageDataset
+
+
+class DeviceDataset:
+    """The packed arrays of a MedicalImageDataset pushed to device.
+
+    ``img``/``gt`` are uint8 (N,H,W) jax arrays (optionally sharded); indexing
+    and normalization happen inside jitted code.
+    """
+
+    def __init__(self, ds: MedicalImageDataset, sharding=None,
+                 img_key: str = "img", gt_key: str = "gt") -> None:
+        put = (lambda a: jax.device_put(a, sharding)) if sharding is not None \
+            else jax.device_put
+        self.img = put(ds.data[img_key])
+        self.gt = put(ds.data[gt_key])
+        self.filenames = ds.filenames
+        self.n = len(ds)
+
+    def __len__(self) -> int:
+        return self.n
+
+
+def normalize_gather(img_u8: jnp.ndarray, gt_u8: jnp.ndarray, idx: jnp.ndarray,
+                     dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather a batch by indices and normalize: uint8 → [0,1] float (B,H,W,1),
+    labels → int32 (B,H,W). Call inside jit (torchvision ToTensor parity)."""
+    img = jnp.take(img_u8, idx, axis=0).astype(dtype) / 255.0
+    gt = jnp.take(gt_u8, idx, axis=0).astype(jnp.int32)
+    return img[..., None], gt
+
+
+class EpochBatcher:
+    """Shuffled, drop-last batch indices for one pass (torch DataLoader parity)."""
+
+    def __init__(self, n: int, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = True) -> None:
+        assert n >= batch_size, (n, batch_size)
+        self.n = n
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+
+    def epoch(self, rs: np.random.RandomState) -> np.ndarray:
+        order = rs.permutation(self.n) if self.shuffle else np.arange(self.n)
+        n_batches = self.n // self.batch_size if self.drop_last \
+            else -(-self.n // self.batch_size)
+        if not self.drop_last and self.n % self.batch_size:
+            pad = n_batches * self.batch_size - self.n
+            order = np.concatenate([order, order[:pad]])
+        return order[:n_batches * self.batch_size].reshape(n_batches, self.batch_size)
+
+
+class InfiniteBatcher:
+    """Endless reshuffling batch stream (ref:utils.py:254-275 iterator_):
+    ``take(k)`` → (k, B) indices, spanning epochs as needed."""
+
+    def __init__(self, n: int, batch_size: int, rs: np.random.RandomState,
+                 shuffle: bool = True) -> None:
+        self.inner = EpochBatcher(n, batch_size, shuffle, drop_last=True)
+        self.rs = rs
+        self._buf = self.inner.epoch(self.rs)
+        self._pos = 0
+
+    def take(self, k: int) -> np.ndarray:
+        out = []
+        need = k
+        while need > 0:
+            avail = len(self._buf) - self._pos
+            if avail == 0:
+                self._buf = self.inner.epoch(self.rs)
+                self._pos = 0
+                continue
+            grab = min(avail, need)
+            out.append(self._buf[self._pos:self._pos + grab])
+            self._pos += grab
+            need -= grab
+        return np.concatenate(out, axis=0)
+
+
+class PatientBuckets:
+    """Patient-grouped, padded eval batches.
+
+    The reference's PatientSampler yields one variable-size batch per patient
+    (ref:ACDC_helper.py:27-67); variable shapes would retrace every patient,
+    so volumes are padded to the max slice count (rounded up to a multiple of
+    ``round_to``) with a validity mask. 3D dice reduces over masked slices
+    only — the ``bcwh->c`` whole-volume definition is preserved.
+    """
+
+    def __init__(self, ds: MedicalImageDataset, grp_regex: str,
+                 round_to: int = 8) -> None:
+        pattern = re.compile(grp_regex)
+        groups: Dict[str, List[int]] = {}
+        for i, stem in enumerate(ds.filenames):
+            m = pattern.match(stem)
+            assert m, f"{stem!r} !~ {grp_regex!r}"
+            groups.setdefault(m.group(1), []).append(i)
+        self.patients = sorted(groups)
+        max_len = max(len(v) for v in groups.values())
+        self.bucket_len = -(-max_len // round_to) * round_to
+        P = len(self.patients)
+        self.indices = np.zeros((P, self.bucket_len), np.int32)
+        self.mask = np.zeros((P, self.bucket_len), bool)
+        for p, name in enumerate(self.patients):
+            idxs = groups[name]
+            self.indices[p, :len(idxs)] = idxs
+            self.mask[p, :len(idxs)] = True
+
+    def __len__(self) -> int:
+        return len(self.patients)

@@ -1,0 +1,309 @@
+"""CoTrainer — K-model deep co-training (the framework's centerpiece).
+
+Rebuild of ref:generalframework/trainer/cotraining_totalloss.py:28-482:
+K segmentators (shared architecture), K labeled streams + one unlabeled +
+one patient-grouped val stream; per iteration supervised CE per model, JSD
+consistency across all models on the unlabeled batch, FGSM diversity on a
+random model pair; λ_cot / λ_adv epoch ramps; fixed 300 iterations/epoch
+(ref::191); per-model best checkpoints keyed on mean foreground per-patient
+3D val dice (ref::155-156, 474-482); per-model metric CSVs + .npy dumps.
+
+TPU shape: the K models live as ONE stacked state; a whole epoch is one jit
+call (see dct_tpu.train.steps.make_cotrain_epoch). Host work per epoch:
+index shuffling, one metrics fetch, file writes.
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Union
+
+import jax
+import numpy as np
+import pandas as pd
+
+from ..checkpoint import load_checkpoint, save_checkpoint
+from ..config import save_yaml
+from ..data.dataset import MedicalImageDataset
+from ..data.pipeline import DeviceDataset, InfiniteBatcher, PatientBuckets
+from ..models.segmentator import Segmentator, stack_states, unstack_states
+from ..schedules import get_weight_scheduler
+from .steps import make_cotrain_epoch, make_eval_patient_step
+from .trainer import DEFAULT_GRP_REGEX
+
+ITERS_PER_EPOCH = 300  # ref:cotraining_totalloss.py:191
+
+
+class CoTrainer:
+    def __init__(self, segmentators: List[Segmentator],
+                 labeled_datasets: List[MedicalImageDataset],
+                 unlabeled_dataset: MedicalImageDataset,
+                 val_dataset: MedicalImageDataset,
+                 criterions: Dict[str, Callable],
+                 max_epoch: int = 100,
+                 save_dir: Union[str, Path] = "tmp",
+                 axises: Optional[List[int]] = None,
+                 checkpoint: Optional[str] = None,
+                 metricname: str = "metrics.csv",
+                 cot_scheduler_dict: Optional[dict] = None,
+                 adv_scheduler_dict: Optional[dict] = None,
+                 adv_training_dict: Optional[dict] = None,
+                 batch_size: int = 4,
+                 unlab_batch_size: Optional[int] = None,
+                 grp_regex: str = DEFAULT_GRP_REGEX,
+                 iters_per_epoch: int = ITERS_PER_EPOCH,
+                 seed: int = 1234,
+                 whole_config: Optional[dict] = None) -> None:
+        assert len(segmentators) == len(labeled_datasets)
+        assert len(segmentators) >= 1
+        assert len({id(s) for s in segmentators}) == len(segmentators)
+        assert set(criterions.keys()) == {"sup", "jsd", "adv"}, criterions.keys()
+
+        self.K = len(segmentators)
+        self.segmentators = segmentators
+        self.seg = segmentators[0]            # shared arch: apply fns/tx
+        self.criterions = criterions
+        self.max_epoch = max_epoch
+        self.save_dir = Path(save_dir)
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        if whole_config:
+            save_yaml(whole_config, self.save_dir / "config.yml")
+        self.C = self.seg.arch_params["num_classes"]
+        self.axises = axises if axises is not None else [1, 2, 3]
+        self.metricname = metricname
+        self.iters_per_epoch = iters_per_epoch
+        self.batch_size = batch_size
+        self.unlab_batch_size = unlab_batch_size or batch_size
+        self.best_scores = np.zeros(self.K)
+        self.start_epoch = 0
+        self.seed = seed
+        self.rs = np.random.RandomState(seed)
+        self.root_key = jax.random.PRNGKey(seed)
+
+        self.cot_scheduler = get_weight_scheduler(
+            cot_scheduler_dict or {"name": "ConstantScheduler", "begin_epoch": 0,
+                                   "max_value": 0.0})
+        self.adv_scheduler = get_weight_scheduler(
+            adv_scheduler_dict or {"name": "ConstantScheduler", "begin_epoch": 0,
+                                   "max_value": 0.0})
+        self.adv_training_dict = adv_training_dict or {}
+        self.eps_fgsm = float(self.adv_training_dict.get("eplision", 0.03))
+
+        # ---- device data: one shared train array + per-stream index spaces
+        # Labeled subsets are *views* into their own packed arrays; simplest
+        # device layout is one DeviceDataset per stream (small duplication,
+        # zero gather indirection).
+        self.lab_dev = [DeviceDataset(d) for d in labeled_datasets]
+        self.unlab_dev = DeviceDataset(unlabeled_dataset)
+        self.val_set = val_dataset
+        self.val_dev = DeviceDataset(val_dataset)
+        self.lab_batchers = [InfiniteBatcher(len(d), batch_size, self.rs)
+                             for d in labeled_datasets]
+        self.unlab_batcher = InfiniteBatcher(len(unlabeled_dataset),
+                                             self.unlab_batch_size, self.rs)
+        self.val_buckets = PatientBuckets(val_dataset, grp_regex)
+        self.eval_step = make_eval_patient_step(self.seg, self.C)
+
+        # Stack params/batch_stats across models; the optimizer state is
+        # initialized ONCE over the stacked params (optax moments are
+        # elementwise, so this is exactly K independent optimizers — whereas
+        # stacking per-model states would stack Adam's scalar step count).
+        stacked = stack_states([{"params": s.state["params"],
+                                 "batch_stats": s.state["batch_stats"]}
+                                for s in segmentators])
+        self.stacked_state = {"params": stacked["params"],
+                              "batch_stats": stacked["batch_stats"],
+                              "opt_state": self.seg.tx.init(stacked["params"])}
+        self._epoch_fns: Dict = {}
+
+        if checkpoint is not None:
+            self._load_checkpoint(checkpoint)
+
+    # ------------------------------------------------------------------
+    def _epoch_fn(self, train_jsd, train_adv, aug_lab, aug_unlab):
+        sig = (train_jsd, train_adv, aug_lab, aug_unlab)
+        if sig not in self._epoch_fns:
+            self._epoch_fns[sig] = make_cotrain_epoch(
+                self.seg, self.K, self.C, self.criterions["sup"],
+                train_jsd, train_adv, aug_lab, aug_unlab, self.eps_fgsm)
+        return self._epoch_fns[sig]
+
+    # The labeled streams index their own arrays, but the fused epoch expects
+    # one (img,gt) pair; with per-stream arrays we offset indices into a
+    # concatenated array once at construction.
+    def _concat_lab_arrays(self):
+        if hasattr(self, "_lab_img_cat"):
+            return
+        import jax.numpy as jnp
+        offs, imgs, gts = [], [], []
+        off = 0
+        for dev in self.lab_dev:
+            offs.append(off)
+            imgs.append(dev.img)
+            gts.append(dev.gt)
+            off += len(dev)
+        # unlabeled appended at the end so ONE array serves all streams
+        offs.append(off)
+        imgs.append(self.unlab_dev.img)
+        gts.append(self.unlab_dev.gt)
+        self._lab_offsets = offs
+        self._lab_img_cat = jnp.concatenate(imgs, axis=0)
+        self._lab_gt_cat = jnp.concatenate(gts, axis=0)
+
+    def start_training(self, train_jsd: bool = False, train_adv: bool = False,
+                       save_train: bool = False, save_val: bool = False,
+                       augment_labeled_data: bool = False,
+                       augment_unlabeled_data: bool = False) -> pd.DataFrame:
+        self._concat_lab_arrays()
+        epoch_fn = self._epoch_fn(train_jsd, train_adv,
+                                  augment_labeled_data, augment_unlabeled_data)
+        records = []
+        for epoch in range(self.start_epoch, self.max_epoch):
+            t0 = time.time()
+            train_m = self._train_epoch(epoch, epoch_fn, train_jsd, train_adv)
+            val_m = self._eval_epoch(epoch, save_val)
+            self._scheduler_step()
+            elapsed = time.time() - t0
+
+            row = {}
+            for s in range(self.K):
+                for i in self.axises:
+                    row[f"tra_dice_{s}_{i}"] = train_m["lab_dice"][s][i]
+                    row[f"val_dice_{s}_{i}"] = val_m["dice2d"][s][i]
+                    row[f"val_batch_dice_{s}_{i}"] = val_m["dice3d"][s][i]
+                row[f"sup_loss_{s}"] = train_m["sup_loss"][s]
+            row["jsd_loss"] = train_m["jsd_loss"]
+            row["adv_loss"] = train_m["adv_loss"]
+            row["images_per_sec"] = train_m["n_images"] / max(train_m["train_time"], 1e-9)
+            records.append(row)
+
+            df = pd.DataFrame(records)
+            for s in range(self.K):
+                cols = [c for c in df.columns if c.endswith(tuple(
+                    f"_{s}_{i}" for i in self.axises)) or c == f"sup_loss_{s}"]
+                df[cols].to_csv(self.save_dir / self.metricname.replace(
+                    ".csv", f"_{s}.csv"), float_format="%.4f", index_label="epoch")
+            np.save(self.save_dir / "val_batch_dice.npy",
+                    df.filter(like="val_batch_dice").values)
+            np.save(self.save_dir / "val_dice.npy",
+                    np.asarray(df.filter(regex=r"^val_dice").values))
+
+            current = np.array([np.mean([val_m["dice3d"][s][i] for i in self.axises])
+                                for s in range(self.K)])
+            self.checkpoint(current, epoch)
+            print(f">> epoch {epoch}: val fg 3D dice "
+                  + " ".join(f"S{s}:{current[s]:.4f}" for s in range(self.K))
+                  + f"  jsd {train_m['jsd_loss']:.4f} adv {train_m['adv_loss']:.4f}"
+                  + f"  [{elapsed:.1f}s, {row['images_per_sec']:.0f} img/s]")
+        return pd.DataFrame(records)
+
+    # ------------------------------------------------------------------
+    def _train_epoch(self, epoch: int, epoch_fn, train_jsd, train_adv) -> Dict:
+        T = self.iters_per_epoch
+        idx_lab = np.stack([off + b.take(T) for off, b in
+                            zip(self._lab_offsets[:-1], self.lab_batchers)], axis=1
+                           ).astype(np.int32)                      # (T,K,B)
+        idx_unlab = (self._lab_offsets[-1]
+                     + self.unlab_batcher.take(T)).astype(np.int32)  # (T,Bu)
+        # random adversarial pair per iteration (ref::235-242)
+        pairs = np.stack([np.sort(self.rs.choice(self.K, 2, replace=self.K < 2))
+                          for _ in range(T)]).astype(np.int32)
+        key = jax.random.fold_in(self.root_key, epoch)
+        lr = self.seg.lr(epoch)
+        lam_cot = self.cot_scheduler.value
+        lam_adv = self.adv_scheduler.value
+
+        t0 = time.time()
+        self.stacked_state, metrics = epoch_fn(
+            self.stacked_state, self._lab_img_cat, self._lab_gt_cat,
+            idx_lab, idx_unlab, pairs, key, lr, lam_cot, lam_adv)
+        lab_dice = np.asarray(metrics["lab_dice"])    # (T,K,B,C)
+        train_time = time.time() - t0
+        n_images = idx_lab.size + (idx_unlab.size if (train_jsd or train_adv) else 0)
+        return {"lab_dice": lab_dice.transpose(1, 0, 2, 3).reshape(
+                    self.K, -1, self.C).mean(1),
+                "sup_loss": np.asarray(metrics["sup_loss"]).mean(0),
+                "jsd_loss": float(np.mean(np.asarray(metrics["jsd_loss"]))),
+                "adv_loss": float(np.mean(np.asarray(metrics["adv_loss"]))),
+                "n_images": n_images, "train_time": train_time}
+
+    def _unstack_model_states(self) -> List[Dict]:
+        """Per-model {'params','batch_stats'} views (opt_state stays stacked)."""
+        return unstack_states({"params": self.stacked_state["params"],
+                               "batch_stats": self.stacked_state["batch_stats"]},
+                              self.K)
+
+    def _eval_epoch(self, epoch: int, save: bool = False) -> Dict:
+        states = self._unstack_model_states()
+        dice2d = np.zeros((self.K, self.C))
+        dice3d = np.zeros((self.K, self.C))
+        for s, st in enumerate(states):
+            rows2d, rows3d = [], []
+            for p in range(len(self.val_buckets)):
+                idx = self.val_buckets.indices[p]
+                mask = self.val_buckets.mask[p]
+                out = self.eval_step(st["params"], st["batch_stats"],
+                                     self.val_dev.img, self.val_dev.gt, idx, mask)
+                rows2d.append(np.asarray(out["dice2d"])[mask])
+                rows3d.append(np.asarray(out["dice3d"]))
+            dice2d[s] = np.concatenate(rows2d, 0).mean(0)
+            dice3d[s] = np.stack(rows3d, 0).mean(0)
+        return {"dice2d": dice2d, "dice3d": dice3d}
+
+    # ------------------------------------------------------------------
+    def _scheduler_step(self) -> None:
+        for s in self.segmentators:
+            s.scheduler_step()
+        self.cot_scheduler.step()
+        self.adv_scheduler.step()
+
+    def checkpoint(self, metric: np.ndarray, epoch: int) -> None:
+        """Per-model best/last checkpoints (ref::458-482) — self-describing
+        (arch/optim/scheduler dicts embedded, ref:segmentators.py:81-95) so
+        summary.py can rebuild models from checkpoints alone. The stacked
+        optimizer state is saved once alongside for exact resume."""
+        states = self._unstack_model_states()
+        for i, (seg, st) in enumerate(zip(self.segmentators, states)):
+            payload = {"segmentator": {
+                           "arch_dict": seg.arch_dict,
+                           "optim_dict": seg.optim_dict,
+                           "scheduler_dict": seg.scheduler_dict,
+                           "net_state_dict": st["params"],
+                           "batch_stats": st["batch_stats"],
+                           "scheduler_state_dict": {"epoch": epoch + 1}},
+                       "best_score": float(self.best_scores[i]),
+                       "best_epoch": epoch,
+                       "cot_scheduler": self.cot_scheduler.state_dict(),
+                       "adv_scheduler": self.adv_scheduler.state_dict()}
+            save_checkpoint(self.save_dir / f"last_{i}.ckpt", payload)
+            if metric[i] > self.best_scores[i]:
+                self.best_scores[i] = float(metric[i])
+                payload = {**payload, "best_score": float(metric[i])}
+                save_checkpoint(self.save_dir / f"best_{i}.ckpt", payload)
+        save_checkpoint(self.save_dir / "opt_state.ckpt",
+                        {"opt_state": self.stacked_state["opt_state"]})
+
+    def _load_checkpoint(self, checkpoint_dir: str) -> None:
+        paths = sorted(Path(checkpoint_dir).glob("last_*.ckpt"))
+        assert paths, f"no last_*.ckpt under {checkpoint_dir}"
+        params, bss = [], []
+        for i, p in enumerate(paths):
+            sd = load_checkpoint(p)
+            params.append(sd["segmentator"]["net_state_dict"])
+            bss.append(sd["segmentator"]["batch_stats"])
+            self.best_scores[i] = sd["best_score"]
+            self.start_epoch = int(sd["best_epoch"]) + 1
+            self.cot_scheduler.load_state_dict(sd["cot_scheduler"])
+            self.adv_scheduler.load_state_dict(sd["adv_scheduler"])
+            self.segmentators[i].epoch = self.start_epoch
+            print(f">>> {p} loaded (best {self.best_scores[i]:.3f})")
+        stacked = stack_states([{"params": p, "batch_stats": b}
+                                for p, b in zip(params, bss)])
+        opt_path = Path(checkpoint_dir) / "opt_state.ckpt"
+        if opt_path.exists():
+            opt_state = load_checkpoint(opt_path)["opt_state"]
+        else:
+            opt_state = self.seg.tx.init(stacked["params"])
+        self.stacked_state = {"params": stacked["params"],
+                              "batch_stats": stacked["batch_stats"],
+                              "opt_state": opt_state}

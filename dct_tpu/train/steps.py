@@ -1,0 +1,267 @@
+"""The fused jitted train/eval steps — the framework's hot path.
+
+Design (vs ref:generalframework/trainer/cotraining_totalloss.py:203-264, which
+runs K sequential torch forwards, a Python FGSM sub-procedure and per-iteration
+``.item()`` syncs):
+
+* K co-trained models = ONE stacked param pytree (leading K axis) + vmapped
+  flax apply. Supervised CE for all K, the JSD consistency term on the shared
+  unlabeled batch, the FGSM diversity term, and ONE ``jax.value_and_grad``
+  over the stacked params (the reference back-propagates the combined loss
+  once through all models, ref::245-248).
+* A whole epoch (300 iterations, ref::191) is a single ``lax.scan`` inside one
+  jit call: batches are index rows into the device-resident uint8 dataset,
+  normalization + augmentation are on-device, metrics are accumulated as
+  small stacked arrays and fetched once per epoch. Zero host Python per
+  iteration.
+* BatchNorm threading follows the reference's mutation order per iteration:
+  labeled forward (per model) → unlabeled forward (all models) → FGSM
+  generation forward (attacked model) → adversarial forward (updated model)
+  — all in train mode (ref::178, BN batch stats), stats carried functionally.
+
+Detach parity (SURVEY §7.3): FGSM adversarial image and its source
+predictions are stop-gradiented (ref:AEGenerator.py:31, ref::392); JSD couples
+all models (no detach); FGSM generation contributes **no** parameter
+gradients (the reference zero_grads after the generator's backward).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..data.augment import augment_batch
+from ..data.pipeline import normalize_gather
+from ..losses import jsd_2d, kl_div_2d
+from ..models.segmentator import Segmentator
+from ..optim import apply_direction
+from ..utils.general import class2one_hot, dice_coef, probs2one_hot
+
+
+def _masked_ce(logits, gt, mask, weight=None):
+    """CE over valid slices only (padded patient buckets)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, gt[..., None], axis=-1)[..., 0]
+    if weight is not None:
+        w = jnp.asarray(weight, logits.dtype)[gt]
+    else:
+        w = jnp.ones_like(nll)
+    w = w * mask[:, None, None]
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-12)
+
+
+def _dice_rows(logits, gt, C):
+    """(B,C) hard 2D dice rows, on device (ref:metrics/dice_meter.py:12-33)."""
+    pred_oh = probs2one_hot(jax.nn.softmax(logits, axis=-1))
+    gt_oh = class2one_hot(gt, C)
+    return dice_coef(gt_oh, pred_oh)
+
+
+# ---------------------------------------------------------------------------
+# supervised epoch (Trainer hot path, ref:trainer.py:147-206)
+# ---------------------------------------------------------------------------
+
+def make_supervised_epoch(seg: Segmentator, loss_fn: Callable, C: int,
+                          augment: bool) -> Callable:
+    """Returns jitted ``epoch(state, img_u8, gt_u8, idx (T,B), key, lr)``
+    → (new_state, metrics {loss (T,), dice (T,B,C)})."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def epoch(state, img_u8, gt_u8, idx, key, lr):
+        def one_step(carry, xs):
+            batch_idx, k = xs
+            img, gt = normalize_gather(img_u8, gt_u8, batch_idx)
+            if augment:
+                img, gt = augment_batch(img, gt, k)
+
+            def loss_of(params):
+                logits, new_bs = seg.apply_train(
+                    params, carry["batch_stats"], img,
+                    dropout_rng=jax.random.fold_in(k, 1))
+                return loss_fn(logits, gt), (logits, new_bs)
+
+            (loss, (logits, new_bs)), grads = jax.value_and_grad(
+                loss_of, has_aux=True)(carry["params"])
+            direction, new_opt = seg.tx.update(grads, carry["opt_state"],
+                                               carry["params"])
+            new_params = apply_direction(carry["params"], direction, lr)
+            new_carry = {"params": new_params, "batch_stats": new_bs,
+                         "opt_state": new_opt}
+            return new_carry, {"loss": loss, "dice": _dice_rows(logits, gt, C)}
+
+        keys = jax.random.split(key, idx.shape[0])
+        return jax.lax.scan(one_step, state, (idx, keys))
+
+    return epoch
+
+
+# ---------------------------------------------------------------------------
+# patient-bucket eval step (ref:trainer.py:173-175, cotraining:273-318)
+# ---------------------------------------------------------------------------
+
+def make_eval_patient_step(seg: Segmentator, C: int, loss_weight=None) -> Callable:
+    """Returns jitted ``step(params, batch_stats, img_u8, gt_u8, idx (L,),
+    mask (L,))`` → per-slice 2D dice (L,C), whole-volume 3D dice (C,), masked
+    CE loss, argmax prediction map. 3D dice = ``bcwh->c`` over the volume
+    (padded slices excluded by the mask)."""
+
+    @jax.jit
+    def step(params, batch_stats, img_u8, gt_u8, idx, mask):
+        img, gt = normalize_gather(img_u8, gt_u8, idx)
+        logits = seg.apply_eval(params, batch_stats, img)
+        maskf = mask.astype(logits.dtype)
+        loss = _masked_ce(logits, gt, maskf, loss_weight)
+        pred_oh = probs2one_hot(jax.nn.softmax(logits, axis=-1)) * maskf[:, None, None, None]
+        gt_oh = class2one_hot(gt, C) * maskf[:, None, None, None]
+        dice2d = dice_coef(gt_oh, pred_oh)                       # (L,C)
+        inter = jnp.sum(gt_oh * pred_oh, axis=(0, 1, 2))
+        sums = jnp.sum(gt_oh, axis=(0, 1, 2)) + jnp.sum(pred_oh, axis=(0, 1, 2))
+        dice3d = (2 * inter + 1e-8) / (sums + 1e-8)              # (C,)
+        return {"dice2d": dice2d, "dice3d": dice3d, "loss": loss,
+                "pred": jnp.argmax(logits, axis=-1)}
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# the K-model co-training epoch (the centerpiece)
+# ---------------------------------------------------------------------------
+
+def make_cotrain_epoch(seg: Segmentator, K: int, C: int,
+                       sup_loss: Callable,
+                       train_jsd: bool, train_adv: bool,
+                       augment_labeled: bool, augment_unlabeled: bool,
+                       eps_fgsm: float = 0.03) -> Callable:
+    """Build the jitted co-training epoch.
+
+    ``epoch(stacked_state, img_u8, gt_u8, idx_lab (T,K,B), idx_unlab (T,Bu),
+    pairs (T,2) int32, key, lr, λ_cot, λ_adv)`` →
+    (new_state, metrics {sup_loss (T,K), jsd_loss (T,), adv_loss (T,),
+    lab_dice (T,K,B,C), unlab_dice (T,K,Bu,C)}).
+
+    All K labeled streams index into the same device-resident train split;
+    ``pairs`` is the per-iteration random 2-of-K adversarial choice
+    (ref::235-242; with K=2 it is always (0,1): attack model 1, update
+    model 0).
+    """
+    vapply_own = jax.vmap(seg.apply_train, in_axes=(0, 0, 0))        # per-model batch
+    vapply_shared = jax.vmap(seg.apply_train, in_axes=(0, 0, None))  # shared batch
+
+    def take_model(tree, i):
+        return jax.tree_util.tree_map(lambda x: jnp.take(x, i, axis=0), tree)
+
+    def put_model(tree, sub, i):
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.lax.dynamic_update_index_in_dim(
+                x, s.astype(x.dtype), i, 0), tree, sub)
+
+    def fgsm_generate(params_b, bs_b, img_cat, gt_b):
+        """FGSM on concat(labeled_b, unlabeled) (ref:AEGenerator.py:16-51 +
+        cotraining::381-390). Labels beyond the gt batch are the model's own
+        argmax pseudo-labels (ref:AEGenerator.py:24-25). Entirely
+        stop-gradiented w.r.t. parameters."""
+        params_b = jax.lax.stop_gradient(params_b)
+        bs_b = jax.lax.stop_gradient(bs_b)
+
+        def ce_of_input(x):
+            logits, new_bs = seg.apply_train(params_b, bs_b, x)
+            pseudo = jnp.argmax(logits[gt_b.shape[0]:], axis=-1)
+            gt_full = jnp.concatenate([gt_b, jax.lax.stop_gradient(pseudo)], axis=0)
+            return sup_loss(logits, gt_full), (logits, new_bs)
+
+        g, (logits, new_bs) = jax.grad(ce_of_input, has_aux=True)(img_cat)
+        adv_img = jax.lax.stop_gradient(img_cat + eps_fgsm * jnp.sign(g))
+        real_probs = jax.lax.stop_gradient(jax.nn.softmax(logits, axis=-1))
+        return adv_img, real_probs, new_bs
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def epoch(stacked_state, img_u8, gt_u8, idx_lab, idx_unlab, pairs, key,
+              lr, lam_cot, lam_adv):
+        def one_step(carry, xs):
+            idx_lab_t, idx_unlab_t, pair, k = xs
+
+            # ---- gather + augment (on device, per model stream) ----------
+            def gather_lab(i):
+                img, gt = normalize_gather(img_u8, gt_u8, idx_lab_t[i])
+                if augment_labeled:
+                    img, gt = augment_batch(img, gt, jax.random.fold_in(k, i))
+                return img, gt
+
+            lab = [gather_lab(i) for i in range(K)]
+            lab_img = jnp.stack([x[0] for x in lab])   # (K,B,H,W,1)
+            lab_gt = jnp.stack([x[1] for x in lab])    # (K,B,H,W)
+            unlab_img, unlab_gt = normalize_gather(img_u8, gt_u8, idx_unlab_t)
+            if augment_unlabeled:
+                unlab_img, unlab_gt = augment_batch(unlab_img, unlab_gt,
+                                                    jax.random.fold_in(k, 101))
+
+            def total_loss(params_stack):
+                bs = carry["batch_stats"]
+                # (1) supervised, all K at once (ref::208-218)
+                lab_logits, bs = vapply_own(params_stack, bs, lab_img)
+                sup_each = jax.vmap(sup_loss)(lab_logits, lab_gt)      # (K,)
+                supervised = jnp.sum(sup_each)
+
+                jsd_loss = jnp.zeros((), lab_logits.dtype)
+                unlab_logits = None
+                if train_jsd:
+                    # (2) JSD on the shared unlabeled batch (ref::219-226)
+                    unlab_logits, bs = vapply_shared(params_stack, bs, unlab_img)
+                    probs = jax.nn.softmax(unlab_logits, axis=-1)
+                    jsd_loss = jnp.mean(jsd_2d(probs))
+
+                adv_loss = jnp.zeros((), lab_logits.dtype)
+                if train_adv:
+                    # (3) FGSM diversity on the cached batches (ref::371-442):
+                    # attack model b, feed adv images to model a,
+                    # KL(a(adv) ‖ b(clean).detach()).
+                    a, b = pair[0], pair[1]
+                    params_b = take_model(params_stack, b)
+                    bs_b = take_model(bs, b)
+                    img_cat = jnp.concatenate(
+                        [jnp.take(lab_img, b, axis=0), unlab_img], axis=0)
+                    gt_b = jnp.take(lab_gt, b, axis=0)
+                    adv_img, real_probs, new_bs_b = fgsm_generate(
+                        params_b, bs_b, img_cat, gt_b)
+                    bs = put_model(bs, new_bs_b, b)
+                    params_a = take_model(params_stack, a)
+                    bs_a = take_model(bs, a)
+                    adv_logits, new_bs_a = seg.apply_train(params_a, bs_a, adv_img)
+                    bs = put_model(bs, new_bs_a, a)
+                    adv_probs = jax.nn.softmax(adv_logits, axis=-1)
+                    adv_loss = jnp.mean(kl_div_2d(adv_probs, real_probs))
+
+                total = supervised + lam_cot * jsd_loss + lam_adv * adv_loss
+                aux = {"sup_each": sup_each, "jsd": jsd_loss, "adv": adv_loss,
+                       "lab_logits": lab_logits, "unlab_logits": unlab_logits,
+                       "batch_stats": bs}
+                return total, aux
+
+            (_, aux), grads = jax.value_and_grad(total_loss, has_aux=True)(
+                carry["params"])
+            direction, new_opt = seg.tx.update(grads, carry["opt_state"],
+                                               carry["params"])
+            new_params = apply_direction(carry["params"], direction, lr)
+
+            lab_dice = jax.vmap(_dice_rows, in_axes=(0, 0, None))(
+                aux["lab_logits"], lab_gt, C)                          # (K,B,C)
+            if train_jsd:
+                unlab_dice = jax.vmap(_dice_rows, in_axes=(0, None, None))(
+                    aux["unlab_logits"], unlab_gt, C)                  # (K,Bu,C)
+            else:
+                unlab_dice = jnp.zeros((K, unlab_gt.shape[0], C), lab_dice.dtype)
+
+            new_carry = {"params": new_params, "batch_stats": aux["batch_stats"],
+                         "opt_state": new_opt}
+            metrics = {"sup_loss": aux["sup_each"], "jsd_loss": aux["jsd"],
+                       "adv_loss": aux["adv"], "lab_dice": lab_dice,
+                       "unlab_dice": unlab_dice}
+            return new_carry, metrics
+
+        keys = jax.random.split(key, idx_lab.shape[0])
+        return jax.lax.scan(one_step, stacked_state,
+                            (idx_lab, idx_unlab, pairs, keys))
+
+    return epoch

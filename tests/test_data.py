@@ -1,0 +1,175 @@
+"""Dataset / splits / sampler / pipeline / augmentation tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dct_tpu.data import (
+    DeviceDataset,
+    EpochBatcher,
+    InfiniteBatcher,
+    MedicalImageDataset,
+    PatientBuckets,
+    PatientSampler,
+    augment_batch,
+    get_acdc_split_datasets,
+    parse_transform_size,
+)
+from dct_tpu.data.pipeline import normalize_gather
+
+from helpers import make_synthetic_acdc
+
+
+@pytest.fixture(scope="module")
+def acdc_root(tmp_path_factory):
+    return make_synthetic_acdc(tmp_path_factory.mktemp("acdc"))
+
+
+class TestDataset:
+    def test_parse_transform_size(self):
+        assert parse_transform_size("segment_transform((256,256))") == (256, 256)
+        assert parse_transform_size((64, 64)) == (64, 64)
+        assert parse_transform_size(None) == (256, 256)
+
+    def test_load(self, acdc_root):
+        ds = MedicalImageDataset(acdc_root, "train", transform=(32, 32), quite=True)
+        assert len(ds) == 40
+        assert ds.data["img"].shape == (40, 32, 32)
+        assert ds.data["img"].dtype == np.uint8
+        assert set(np.unique(ds.data["gt"])) <= {0, 1, 2, 3}
+
+    def test_resize_on_load(self, acdc_root):
+        ds = MedicalImageDataset(acdc_root, "train", transform=(16, 16), quite=True)
+        assert ds.data["img"].shape == (40, 16, 16)
+        # nearest for gt keeps labels intact
+        assert set(np.unique(ds.data["gt"])) <= {0, 1, 2, 3}
+
+    def test_filter_by_patterns(self, acdc_root):
+        ds = MedicalImageDataset(acdc_root, "train", transform=(32, 32), quite=True)
+        sub = ds.filter_by_patterns(["patient001", "patient002"])
+        assert len(sub) == 8
+        assert all(s.startswith(("patient001", "patient002")) for s in sub.filenames)
+        # parent untouched
+        assert len(ds) == 40
+
+
+class TestSplits:
+    def test_acdc_split_partition(self, acdc_root):
+        np.random.seed(1234)
+        config = {
+            "Dataset": {"root_dir": str(acdc_root), "transform": (32, 32),
+                        "subfolders": ["img", "gt"], "quite": True},
+            "Lab_Partitions": {"num_models": 2, "partition_sets": 0.5,
+                               "partition_overlap": 1},
+        }
+        # 10 patients → ratio .5: labeled = patients 1..5, unlabeled 6..10... but
+        # the reference hardcodes 100 patients; with overlap=1 all labeled shared.
+        labeled, unlab, val = get_acdc_split_datasets(config)
+        assert len(labeled) == 2
+        # overlap=1 → identical partitions
+        assert sorted(labeled[0].filenames) == sorted(labeled[1].filenames)
+        assert len(val) == 12
+
+    def test_partition_overlap_zero(self, acdc_root):
+        np.random.seed(7)
+        config = {
+            "Dataset": {"root_dir": str(acdc_root), "transform": (32, 32),
+                        "subfolders": ["img", "gt"], "quite": True},
+            "Lab_Partitions": {"num_models": 2, "partition_sets": 0.1,
+                               "partition_overlap": 0},
+        }
+        labeled, unlab, val = get_acdc_split_datasets(config)
+        # disjoint labeled partitions
+        assert not set(labeled[0].filenames) & set(labeled[1].filenames)
+
+    def test_seed_reproducible(self, acdc_root):
+        config = {
+            "Dataset": {"root_dir": str(acdc_root), "transform": (32, 32),
+                        "subfolders": ["img", "gt"], "quite": True},
+            "Lab_Partitions": {"num_models": 2, "partition_sets": 0.5,
+                               "partition_overlap": 0.5},
+        }
+        np.random.seed(42)
+        a, _, _ = get_acdc_split_datasets(config)
+        np.random.seed(42)
+        b, _, _ = get_acdc_split_datasets(config)
+        assert [x.filenames for x in a] == [x.filenames for x in b]
+
+
+class TestSamplerBuckets:
+    def test_patient_sampler_groups(self, acdc_root):
+        ds = MedicalImageDataset(acdc_root, "val", transform=(32, 32), quite=True)
+        sampler = PatientSampler(ds, r"(patient\d+_\d+)_\d+", quite=True)
+        batches = list(sampler)
+        assert len(batches) == 3
+        assert sum(len(b) for b in batches) == len(ds)
+
+    def test_patient_buckets(self, acdc_root):
+        ds = MedicalImageDataset(acdc_root, "val", transform=(32, 32), quite=True)
+        buckets = PatientBuckets(ds, r"(patient\d+_\d+)_\d+", round_to=8)
+        assert len(buckets) == 3
+        assert buckets.indices.shape == (3, 8)
+        assert buckets.mask.sum() == len(ds)
+        # masked indices point at the right patient's slices
+        for p, name in enumerate(buckets.patients):
+            idxs = buckets.indices[p][buckets.mask[p]]
+            assert all(ds.filenames[i].startswith(name) for i in idxs)
+
+
+class TestBatchers:
+    def test_epoch_batcher_drop_last(self):
+        b = EpochBatcher(10, 4, shuffle=True, drop_last=True)
+        idx = b.epoch(np.random.RandomState(0))
+        assert idx.shape == (2, 4)
+        assert len(set(idx.flatten())) == 8
+
+    def test_infinite_batcher_cycles(self):
+        b = InfiniteBatcher(6, 4, np.random.RandomState(0))
+        out = b.take(5)
+        assert out.shape == (5, 4)
+        # every item appears eventually
+        assert set(out.flatten().tolist()) == set(range(6))
+
+    def test_device_dataset_gather(self, acdc_root):
+        ds = MedicalImageDataset(acdc_root, "train", transform=(32, 32), quite=True)
+        dev = DeviceDataset(ds)
+        img, gt = jax.jit(normalize_gather)(dev.img, dev.gt, jnp.arange(4))
+        assert img.shape == (4, 32, 32, 1) and img.dtype == jnp.float32
+        assert float(img.max()) <= 1.0
+        assert gt.shape == (4, 32, 32) and gt.dtype == jnp.int32
+
+
+class TestAugment:
+    def test_shapes_and_labels(self, rng, acdc_root):
+        ds = MedicalImageDataset(acdc_root, "train", transform=(32, 32), quite=True)
+        img = jnp.asarray(ds.data["img"][:8], jnp.float32)[..., None] / 255.0
+        gt = jnp.asarray(ds.data["gt"][:8], jnp.int32)
+        img_a, gt_a = jax.jit(augment_batch)(img, gt, rng)
+        assert img_a.shape == img.shape and gt_a.shape == gt.shape
+        assert set(np.unique(np.asarray(gt_a))) <= {0, 1, 2, 3}
+
+    def test_deterministic_given_key(self, rng):
+        img = jnp.ones((2, 16, 16, 1))
+        gt = jnp.zeros((2, 16, 16), jnp.int32)
+        a1, _ = augment_batch(img, gt, rng)
+        a2, _ = augment_batch(img, gt, rng)
+        assert np.allclose(np.asarray(a1), np.asarray(a2))
+
+    def test_different_keys_differ(self):
+        rs = np.random.RandomState(3)
+        img = jnp.asarray(rs.rand(4, 16, 16, 1).astype(np.float32))
+        gt = jnp.zeros((4, 16, 16), jnp.int32)
+        a1, _ = augment_batch(img, gt, jax.random.PRNGKey(1))
+        a2, _ = augment_batch(img, gt, jax.random.PRNGKey(2))
+        assert not np.allclose(np.asarray(a1), np.asarray(a2))
+
+    def test_joint_img_gt_transform(self, rng):
+        # gt == quantized img ⇒ after joint aug they must stay aligned
+        rs = np.random.RandomState(5)
+        base = (rs.rand(4, 32, 32) > 0.5).astype(np.float32)
+        img = jnp.asarray(base)[..., None]
+        gt = jnp.asarray(base.astype(np.int32))
+        img_a, gt_a = augment_batch(img, gt, rng)
+        # compare where bilinear didn't blend (interior of constant regions)
+        agree = (np.round(np.asarray(img_a[..., 0])) == np.asarray(gt_a)).mean()
+        assert agree > 0.9

@@ -1,0 +1,101 @@
+"""End-to-end trainer tests on a tiny synthetic ACDC tree (CPU)."""
+import jax
+import numpy as np
+import pytest
+
+from dct_tpu.data import MedicalImageDataset
+from dct_tpu.losses import get_loss_fn
+from dct_tpu.models import Segmentator
+from dct_tpu.train import CoTrainer, Trainer
+
+from helpers import make_synthetic_acdc
+
+ADAM = {"name": "Adam", "lr": 1e-3, "weight_decay": 1e-4}
+STEP = {"name": "StepLR", "step_size": 90, "gamma": 0.1}
+ARCH = {"name": "enet", "num_classes": 4}
+
+
+@pytest.fixture(scope="module")
+def acdc_root(tmp_path_factory):
+    return make_synthetic_acdc(tmp_path_factory.mktemp("acdc"), size=32)
+
+
+@pytest.fixture(scope="module")
+def datasets(acdc_root):
+    tr = MedicalImageDataset(acdc_root, "train", transform=(32, 32), quite=True)
+    va = MedicalImageDataset(acdc_root, "val", transform=(32, 32), quite=True)
+    return {"train": tr, "val": va}
+
+
+class TestSupervisedTrainer:
+    def test_two_epoch_run(self, datasets, tmp_path):
+        seg = Segmentator(ARCH, ADAM, STEP, jax.random.PRNGKey(0),
+                          input_shape=(1, 32, 32, 1))
+        tr = Trainer(seg, datasets, get_loss_fn("cross_entropy"),
+                     max_epoch=2, save_dir=tmp_path / "run", batch_size=4,
+                     axises=[1, 2, 3])
+        df = tr.start_training()
+        assert len(df) == 2
+        assert (tmp_path / "run" / "metrics.csv").exists()
+        assert (tmp_path / "run" / "best.ckpt").exists()
+        assert (tmp_path / "run" / "last.ckpt").exists()
+        # dice values are sane
+        assert 0.0 <= df["val_dice_1"].iloc[-1] <= 1.0
+        # training made progress on the (easy) synthetic task
+        assert df["train_loss"].iloc[-1] < df["train_loss"].iloc[0]
+
+    def test_resume(self, datasets, tmp_path):
+        seg = Segmentator(ARCH, ADAM, STEP, jax.random.PRNGKey(0),
+                          input_shape=(1, 32, 32, 1))
+        run = tmp_path / "run2"
+        Trainer(seg, datasets, get_loss_fn("cross_entropy"), max_epoch=1,
+                save_dir=run, batch_size=4, axises=[1, 2, 3]).start_training()
+        seg2 = Segmentator(ARCH, ADAM, STEP, jax.random.PRNGKey(1),
+                           input_shape=(1, 32, 32, 1))
+        tr2 = Trainer(seg2, datasets, get_loss_fn("cross_entropy"), max_epoch=2,
+                      save_dir=run, batch_size=4, axises=[1, 2, 3],
+                      checkpoint=str(run / "last.ckpt"))
+        assert tr2.start_epoch == 1
+        df = tr2.start_training()
+        assert len(df) == 1  # only epoch 1 remains
+
+
+class TestCoTrainer:
+    def _build(self, datasets, tmp_path, n_iters=6):
+        segs = [Segmentator(ARCH, ADAM, STEP, jax.random.PRNGKey(i),
+                            input_shape=(1, 32, 32, 1)) for i in range(2)]
+        labeled = [datasets["train"].filter_by_patterns(
+                       [f"patient{p:03d}" for p in ids])
+                   for ids in ([1, 2, 3], [3, 4, 5])]
+        unlab = datasets["train"].filter_by_patterns(
+            [f"patient{p:03d}" for p in range(6, 11)])
+        criterions = {"sup": get_loss_fn("cross_entropy"),
+                      "jsd": get_loss_fn("jsd"), "adv": get_loss_fn("jsd")}
+        return CoTrainer(
+            segs, labeled, unlab, datasets["val"], criterions,
+            max_epoch=2, save_dir=tmp_path / "cotrain", axises=[1, 2, 3],
+            cot_scheduler_dict={"name": "RampScheduler", "begin_epoch": 0,
+                                "max_epoch": 50, "max_value": 0.5, "ramp_mult": -5},
+            adv_scheduler_dict={"name": "RampScheduler", "begin_epoch": 0,
+                                "max_epoch": 50, "max_value": 0.05, "ramp_mult": -5},
+            adv_training_dict={"eplision": 0.03},
+            batch_size=4, iters_per_epoch=n_iters)
+
+    def test_full_cotraining(self, datasets, tmp_path):
+        ct = self._build(datasets, tmp_path)
+        df = ct.start_training(train_jsd=True, train_adv=True)
+        assert len(df) == 2
+        for i in range(2):
+            assert (tmp_path / "cotrain" / f"best_{i}.ckpt").exists()
+            assert (tmp_path / "cotrain" / f"metrics_{i}.csv").exists()
+        assert np.isfinite(df["jsd_loss"]).all()
+        assert np.isfinite(df["adv_loss"]).all()
+        assert (df["adv_loss"] >= 0).all()
+        # supervised-only sanity: losses finite and dice in range
+        assert 0.0 <= df["val_batch_dice_0_1"].iloc[-1] <= 1.0
+
+    def test_sup_only_mode(self, datasets, tmp_path):
+        ct = self._build(datasets, tmp_path)
+        df = ct.start_training(train_jsd=False, train_adv=False)
+        assert (df["jsd_loss"] == 0).all()
+        assert (df["adv_loss"] == 0).all()
