@@ -1,0 +1,63 @@
+"""Device mesh + sharding placement for multi-chip training.
+
+The reference's only parallelism is single-process ``nn.DataParallel``
+(ref:generalframework/models/segmentators.py:34-36). The TPU-native design
+uses one ``jax.sharding.Mesh`` with two axes:
+
+* ``model`` — the K co-trained models: the stacked param/batch-stats pytrees
+  have a leading K axis, sharded so each model's replica group owns its own
+  weights (co-training's K independent nets are embarrassingly parallel except
+  for the JSD/adversarial coupling, which XLA turns into ICI collectives).
+* ``data``  — classic DP: batch dims sharded, params replicated within a
+  model group; gradient psum is inserted by the GSPMD partitioner.
+
+No explicit collectives appear in user code: placement is everything — the
+jitted epoch functions (dct_tpu.train.steps) are sharding-agnostic and follow
+their inputs (computation-follows-data).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, n_model: int = 1) -> Mesh:
+    """Mesh of shape (model, data) over the first ``n_devices`` devices."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    assert n <= len(devices), (n, len(devices))
+    assert n % n_model == 0, f"{n} devices not divisible into {n_model} model groups"
+    arr = np.array(devices[:n]).reshape(n_model, n // n_model)
+    return Mesh(arr, ("model", "data"))
+
+
+def place_replicated(mesh: Mesh, tree):
+    """Replicate a pytree over the whole mesh."""
+    sh = NamedSharding(mesh, P())
+    return jax.device_put(tree, sh)
+
+
+def place_stacked_state(mesh: Mesh, state: Dict, K: int):
+    """Shard the leading K axis of stacked model state over ``model``;
+    leaves without a K leading dim (e.g. optax step counts) replicate."""
+    def spec_for(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == K \
+                and mesh.shape["model"] > 1:
+            return NamedSharding(mesh, P("model"))
+        return NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, spec_for(x)), state)
+
+
+def place_batches(mesh: Mesh, idx_lab, idx_unlab, pairs):
+    """Shard per-iteration index arrays: labeled (T,K,B) over (model, data)
+    on its last two axes; unlabeled (T,Bu) over data; pairs replicated."""
+    lab_sh = NamedSharding(mesh, P(None, "model", "data"))
+    unlab_sh = NamedSharding(mesh, P(None, "data"))
+    rep = NamedSharding(mesh, P())
+    return (jax.device_put(idx_lab, lab_sh),
+            jax.device_put(idx_unlab, unlab_sh),
+            jax.device_put(pairs, rep))
