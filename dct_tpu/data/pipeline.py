@@ -41,11 +41,14 @@ class DeviceDataset:
 
 def normalize_gather(img_u8: jnp.ndarray, gt_u8: jnp.ndarray, idx: jnp.ndarray,
                      dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Gather a batch by indices and normalize: uint8 → [0,1] float (B,H,W,1),
-    labels → int32 (B,H,W). Call inside jit (torchvision ToTensor parity)."""
+    """Gather a batch by indices and normalize: uint8 → [0,1] float
+    (B,H,W,C) — grayscale (N,H,W) arrays gain a channel axis, RGB (N,H,W,3)
+    keep theirs — labels → int32 (B,H,W). Call inside jit (ToTensor parity)."""
     img = jnp.take(img_u8, idx, axis=0).astype(dtype) / 255.0
     gt = jnp.take(gt_u8, idx, axis=0).astype(jnp.int32)
-    return img[..., None], gt
+    if img.ndim == 3:
+        img = img[..., None]
+    return img, gt
 
 
 class EpochBatcher:

@@ -1,0 +1,125 @@
+"""Offline nii→PNG slicers (rebuild of ref:generalframework/datapreprocessing/).
+
+The reference ships per-dataset CLI scripts (slice_acdc.py / slice_promise.py /
+slice_spin.py / dataset/Spleen/slice_spleen.py) that normalize 3D volumes to
+uint8, slice along the last axis, resize, optionally emit augmented copies,
+and write ``dest/{train,val}/{img,gt}/<pid>_<frame>_0_<slice>.png``.
+
+Core slicing math is pure numpy (testable without nibabel); nibabel is only
+imported inside the CLI loaders and gated (not installed in this image).
+"""
+from __future__ import annotations
+
+import argparse
+import random
+import re
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+
+def norm_arr(img: np.ndarray) -> np.ndarray:
+    """Volume-wide normalization to uint8 [0,255] (ref:slice_acdc.py:21-28)."""
+    casted = img.astype(np.float32)
+    shifted = casted - casted.min()
+    norm = shifted / max(shifted.max(), 1e-12)
+    return (255 * norm).astype(np.uint8)
+
+
+def get_frame(filename: str, regex: str = r".*_frame(\d+)(_gt)?\.nii.*") -> str:
+    m = re.match(regex, filename)
+    if m:
+        return m.group(1)
+    raise ValueError(regex, filename)
+
+
+def _augment_pair(img: Image.Image, gt: Image.Image,
+                  rng: random.Random) -> Tuple[Image.Image, Image.Image]:
+    """PIL flip/mirror/rotate pair augmentation for offline n_augment copies
+    (ref:datapreprocessing/utils.py augment)."""
+    from PIL import ImageOps
+    if rng.random() > 0.5:
+        img, gt = ImageOps.flip(img), ImageOps.flip(gt)
+    if rng.random() > 0.5:
+        img, gt = ImageOps.mirror(img), ImageOps.mirror(gt)
+    if rng.random() > 0.5:
+        angle = rng.random() * 90 - 45
+        img = img.rotate(angle, resample=Image.NEAREST)
+        gt = gt.rotate(angle, resample=Image.NEAREST)
+    return img, gt
+
+
+def save_volume_slices(img: np.ndarray, gt: np.ndarray, p_id: str, f_id: str,
+                       dest_dir: Path, shape: Tuple[int, int] = (256, 256),
+                       n_augment: int = 0, img_dir: str = "img",
+                       gt_dir: str = "gt", seed: int = 0) -> List[str]:
+    """Slice one (H,W,S) volume pair to PNGs; returns written stems
+    (ref:slice_acdc.py:52-110 semantics: whole-volume normalization, nearest
+    gt resize, ``{pid}_{frame}_{aug}_{slice}.png`` naming)."""
+    assert img.shape == gt.shape, (img.shape, gt.shape)
+    norm_img = norm_arr(img)
+    rng = random.Random(seed)
+    (Path(dest_dir, img_dir)).mkdir(parents=True, exist_ok=True)
+    (Path(dest_dir, gt_dir)).mkdir(parents=True, exist_ok=True)
+    stems: List[str] = []
+    for j in range(img.shape[-1]):
+        img_s = Image.fromarray(norm_img[:, :, j]).resize(shape[::-1], Image.BILINEAR)
+        gt_s = Image.fromarray(gt[:, :, j].astype(np.uint8)).resize(
+            shape[::-1], Image.NEAREST)
+        for a in range(n_augment + 1):
+            im, g = (img_s, gt_s) if a == 0 else _augment_pair(img_s, gt_s, rng)
+            stem = f"{p_id}_{f_id}_{a}_{j}"
+            im.save(Path(dest_dir, img_dir, stem + ".png"))
+            g.save(Path(dest_dir, gt_dir, stem + ".png"))
+            stems.append(stem)
+    return stems
+
+
+def _load_nii(path: Path) -> np.ndarray:
+    try:
+        import nibabel as nib
+    except ImportError as e:  # pragma: no cover - env without nibabel
+        raise ImportError(
+            "nibabel is required for .nii slicing; install it or pre-slice "
+            "volumes with save_volume_slices on raw arrays") from e
+    return np.asarray(nib.load(str(path)).dataobj)
+
+
+def slice_acdc(source_dir: str, dest_dir: str, shape=(256, 256),
+               retain: int = 25, n_augment: int = 0, seed: int = 0) -> None:
+    """ACDC training set → train/val PNG trees; ``retain`` patients go to val
+    (ref:slice_acdc.py main flow)."""
+    src = Path(source_dir)
+    patients = sorted(p for p in src.iterdir() if p.is_dir())
+    random.Random(seed).shuffle(patients)
+    val_patients = set(p.name for p in patients[:retain])
+    for pdir in patients:
+        mode = "val" if pdir.name in val_patients else "train"
+        for img_p in sorted(pdir.glob("*_frame*.nii*")):
+            if "_gt" in img_p.name or "_4d" in img_p.name:
+                continue
+            gt_p = Path(str(img_p).replace(".nii", "_gt.nii"))
+            if not gt_p.exists():
+                continue
+            save_volume_slices(_load_nii(img_p), _load_nii(gt_p), pdir.name,
+                               get_frame(img_p.name), Path(dest_dir, mode),
+                               shape, n_augment if mode == "train" else 0, seed=seed)
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    parser = argparse.ArgumentParser(description="nii → PNG slicer")
+    parser.add_argument("--source_dir", required=True)
+    parser.add_argument("--dest_dir", required=True)
+    parser.add_argument("--shape", type=int, nargs=2, default=[256, 256])
+    parser.add_argument("--retain", type=int, default=25)
+    parser.add_argument("--n_augment", type=int, default=0)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+    slice_acdc(args.source_dir, args.dest_dir, tuple(args.shape), args.retain,
+               args.n_augment, args.seed)
+
+
+if __name__ == "__main__":
+    main()

@@ -13,7 +13,11 @@ from typing import Any, Dict
 
 from flax import linen as nn
 
+from .deeplab import DeepLabV2, DeepLabV3, DeepLabV3Plus
 from .enet import Enet
+from .joseent import CorstemNet, JEnet
+from .fcn import FCN8, FCN16, FCN32
+from .segnet import SegNet
 from .unet import UNet
 
 ARCH_CALLABLES: Dict[str, Any] = {}
@@ -33,6 +37,18 @@ def _register_arch(name: str, callable_, alias=None) -> None:
 _register_arch("enet", Enet)
 _register_arch("unet", lambda **kw: UNet(use_bn=False, **kw))
 _register_arch("unet_bn", lambda **kw: UNet(use_bn=True, **kw))
+_register_arch("fcn8", FCN8)
+_register_arch("fcn16", FCN16)
+_register_arch("fcn32", FCN32)
+_register_arch("segnet", SegNet)
+_register_arch("deeplabv2", DeepLabV2)
+_register_arch("deeplabv3", DeepLabV3)
+_register_arch("deeplabv3plus", DeepLabV3Plus)
+_register_arch("jenet", JEnet)
+_register_arch("cnet", CorstemNet)
+from .classifiers import ResNet18, VGG11  # noqa: E402
+_register_arch("vgg11", VGG11)
+_register_arch("resnet18", ResNet18)
 
 
 def get_arch(arch: str, kwargs: Dict[str, Any]) -> nn.Module:

@@ -50,6 +50,12 @@ class Segmentator:
         self.scheduler_dict = dict(scheduler_dict)
         self.arch_name = arch_dict["name"]
         self.arch_params = {k: v for k, v in arch_dict.items() if k != "name"}
+        # compute_dtype: mixed-precision knob (config: Arch.compute_dtype).
+        # Params/optimizer stay fp32; forward activations run in this dtype
+        # (bfloat16 feeds the MXU at 2x rate); logits are cast back to fp32
+        # before any loss.
+        self.compute_dtype = jnp.dtype(self.arch_params.pop("compute_dtype",
+                                                            "float32"))
         self.model = get_arch(self.arch_name, self.arch_params)
         self.dtype = dtype
 
@@ -71,21 +77,38 @@ class Segmentator:
     # ------------------------------------------------------------------
     # pure apply fns (safe to close over in jitted steps)
     # ------------------------------------------------------------------
+    def _cast_in(self, params, x):
+        if self.compute_dtype == jnp.float32:
+            return params, x
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda a: a.astype(self.compute_dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
+        return cast(params), x.astype(self.compute_dtype)
+
     def apply_train(self, params, batch_stats, x,
                     dropout_rng: Optional[jax.Array] = None):
-        """Forward in train mode; returns (logits, new_batch_stats).
+        """Forward in train mode; returns (logits fp32, new_batch_stats).
         BN uses batch statistics and updates the running ones — matching the
         reference's train-mode forwards (ref:segmentators.py:65-70)."""
         rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
+        cparams, cx = self._cast_in(params, x)
         out, mut = self.model.apply(
-            {"params": params, "batch_stats": batch_stats}, x, train=True,
+            {"params": cparams, "batch_stats": batch_stats}, cx, train=True,
             mutable=["batch_stats"], rngs=rngs)
-        return out, mut["batch_stats"]
+        new_bs = mut["batch_stats"]
+        if self.compute_dtype != jnp.float32:
+            # keep running stats fp32 so scan carries stay dtype-stable
+            new_bs = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, new_bs)
+        return out.astype(jnp.float32), new_bs
 
     def apply_eval(self, params, batch_stats, x):
         """Forward in eval mode (running BN stats, no dropout)."""
-        return self.model.apply(
-            {"params": params, "batch_stats": batch_stats}, x, train=False)
+        cparams, cx = self._cast_in(params, x)
+        out = self.model.apply(
+            {"params": cparams, "batch_stats": batch_stats}, cx, train=False)
+        return out.astype(jnp.float32)
 
     # ------------------------------------------------------------------
     # convenience (host-facing; compiles on first use)

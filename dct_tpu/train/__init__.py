@@ -5,3 +5,6 @@ from .steps import (  # noqa: F401
 )
 from .trainer import Trainer  # noqa: F401
 from .cotrainer import CoTrainer  # noqa: F401
+from .mean_teacher import MeanTeacherTrainer  # noqa: F401
+from .vat import VatTrainer  # noqa: F401
+from .city import CoTrainerCity, TrainerCity  # noqa: F401

@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""Ensemble evaluation of a co-training run (parity with ref:/root/reference/Summary.py).
+
+Loads every ``best_*.ckpt`` from a run directory (checkpoints are
+self-describing: arch/optim/scheduler dicts embedded), re-runs the val set
+patient-by-patient, and reports:
+
+* per-model 2D (per-slice) and 3D (per-patient) dice,
+* soft-vote (mean probs) and hard-vote (pixelwise majority) ensemble dice
+  (ref:Summary.py:100-120),
+* Hausdorff distance per patient (voxel spacing from ``patient_info.csv``
+  when present, ref:Summary.py:156-157),
+* inter-model diversity: Cohen's kappa of each model vs the ensemble vote on
+  the foreground classes (ref:Summary.py:171-172).
+
+Outputs: ``summary.csv`` (2D), ``bsummary.csv`` (3D + Hausdorff),
+``div.csv`` (kappa) in the run dir.
+
+Usage:
+    python summary.py --input_dir runs/exp [--ensemble_method soft|hard]
+        [--dataset_root path] [--axises 1 2 3]
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+from typing import Dict, List
+
+import numpy as np
+import pandas as pd
+
+
+def hausdorff_distance(a: np.ndarray, b: np.ndarray, spacing=None) -> float:
+    """Symmetric Hausdorff distance between two binary masks (2D/3D),
+    via distance transforms (ref uses deepclustering's metric; same def)."""
+    from scipy.ndimage import distance_transform_edt
+
+    a = a.astype(bool)
+    b = b.astype(bool)
+    if not a.any() and not b.any():
+        return 0.0
+    if not a.any() or not b.any():
+        return float("nan")
+    dt_b = distance_transform_edt(~b, sampling=spacing)
+    dt_a = distance_transform_edt(~a, sampling=spacing)
+    return float(max(dt_b[a].max(), dt_a[b].max()))
+
+
+def soft_voting(probs: np.ndarray) -> np.ndarray:
+    """(K,L,H,W,C) probs → (L,H,W) class map by mean prob (ref:Summary.py:100-108)."""
+    return probs.mean(0).argmax(-1)
+
+
+def hard_voting(probs: np.ndarray) -> np.ndarray:
+    """(K,L,H,W,C) probs → (L,H,W) pixelwise majority vote of per-model argmax
+    (ref:Summary.py:110-120); ties resolve to the smallest class id."""
+    K, L, H, W, C = probs.shape
+    votes = probs.argmax(-1)                     # (K,L,H,W)
+    counts = np.zeros((C, L, H, W), np.int32)
+    for c in range(C):
+        counts[c] = (votes == c).sum(0)
+    return counts.argmax(0)
+
+
+def dice_from_class_maps(pred: np.ndarray, gt: np.ndarray, C: int,
+                         per_slice: bool) -> np.ndarray:
+    """Hard dice from (L,H,W) class maps: (L,C) if per_slice else (C,)."""
+    axes = (1, 2) if per_slice else (0, 1, 2)
+    out = []
+    for c in range(C):
+        p = (pred == c).astype(np.float64)
+        g = (gt == c).astype(np.float64)
+        inter = (p * g).sum(axis=axes)
+        sums = p.sum(axis=axes) + g.sum(axis=axes)
+        out.append((2 * inter + 1e-8) / (sums + 1e-8))
+    return np.stack(out, axis=-1)
+
+
+def main(argv=None) -> Dict[str, pd.DataFrame]:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--input_dir", required=True)
+    parser.add_argument("--ensemble_method", default="soft", choices=["soft", "hard"])
+    parser.add_argument("--dataset_root", default=None,
+                        help="override Dataset.root_dir from the run config")
+    parser.add_argument("--axises", nargs="+", type=int, default=[1, 2, 3])
+    parser.add_argument("--patient_info", default=None,
+                        help="csv with per-patient voxel spacing for Hausdorff")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from dct_tpu.checkpoint import load_checkpoint
+    from dct_tpu.config import load_yaml
+    from dct_tpu.data.dataset import MedicalImageDataset, parse_transform_size
+    from dct_tpu.data.pipeline import DeviceDataset, PatientBuckets
+    from dct_tpu.metrics import KappaMetrics
+    from dct_tpu.models import Segmentator
+
+    run_dir = Path(args.input_dir)
+    config = load_yaml(run_dir / "config.yml")
+    ckpts = sorted(run_dir.glob("best_*.ckpt")) or sorted(run_dir.glob("best.ckpt"))
+    assert ckpts, f"no best checkpoints under {run_dir}"
+    print(f"found {len(ckpts)} checkpoints: {[c.name for c in ckpts]}")
+
+    ds_cfg = dict(config["Dataset"])
+    root = args.dataset_root or ds_cfg.pop("root_dir")
+    ds_cfg.pop("root_dir", None)
+    ds_cfg.pop("name", None)
+    val_set = MedicalImageDataset(root, "val", **{**ds_cfg, "quite": True})
+    h, w = parse_transform_size(config["Dataset"].get("transform"))
+
+    segs: List[Segmentator] = []
+    for i, p in enumerate(ckpts):
+        sd = load_checkpoint(p)["segmentator"]
+        sd.setdefault("scheduler_state_dict", {"epoch": 0})
+        seg = Segmentator(sd["arch_dict"], sd["optim_dict"], sd["scheduler_dict"],
+                          jax.random.PRNGKey(i), input_shape=(1, h, w, 1))
+        seg.state["params"] = sd["net_state_dict"]
+        seg.state["batch_stats"] = sd["batch_stats"]
+        segs.append(seg)
+    C = segs[0].arch_params["num_classes"]
+
+    grp_regex = r"(patient\d+_\d+)_\d+"
+    bs_cfg = config.get("Lab_Dataloader", {}).get("batch_sampler")
+    if bs_cfg:
+        grp_regex = bs_cfg[1]["grp_regex"]
+    buckets = PatientBuckets(val_set, grp_regex)
+    dev = DeviceDataset(val_set)
+
+    spacing_by_patient = {}
+    info_path = args.patient_info or Path(root, "patient_info.csv")
+    if Path(info_path).exists():
+        info = pd.read_csv(info_path, index_col=0)
+        for pid, rowi in info.iterrows():
+            vals = rowi.values.astype(float)[:2]
+            spacing_by_patient[str(pid)] = tuple(vals)
+
+    import jax.numpy as jnp
+
+    @jax.jit
+    def probs_of(params, batch_stats, idx):
+        img = jnp.take(dev.img, idx, axis=0).astype(jnp.float32)[..., None] / 255.0
+        logits = segs[0].apply_eval(params, batch_stats, img)
+        return jax.nn.softmax(logits, axis=-1)
+
+    kappa_meter = KappaMetrics()
+    rows2d, rows3d = [], []
+    for p in range(len(buckets)):
+        idx = buckets.indices[p]
+        mask = buckets.mask[p]
+        name = buckets.patients[p]
+        gt = val_set.data["gt"][idx[mask]].astype(np.int64)
+        probs = np.stack([np.asarray(probs_of(s.state["params"],
+                                              s.state["batch_stats"], idx))[mask]
+                          for s in segs])                       # (K,L,H,W,C)
+        model_preds = probs.argmax(-1)
+        ens = (soft_voting(probs) if args.ensemble_method == "soft"
+               else hard_voting(probs))
+        kappa_meter.add(list(model_preds), ens, considered_classes=args.axises)
+
+        spacing = spacing_by_patient.get(name.split("_")[0])
+        row2d, row3d = {"patient": name}, {"patient": name}
+        for s in range(len(segs)):
+            d2 = dice_from_class_maps(model_preds[s], gt, C, per_slice=True)
+            d3 = dice_from_class_maps(model_preds[s], gt, C, per_slice=False)
+            for i in args.axises:
+                row2d[f"S{s}_DSC{i}"] = d2[:, i].mean()
+                row3d[f"S{s}_DSC{i}"] = d3[i]
+            row3d[f"S{s}_HD"] = np.nanmean([
+                hausdorff_distance(model_preds[s] == i, gt == i, spacing)
+                for i in args.axises])
+        d2e = dice_from_class_maps(ens, gt, C, per_slice=True)
+        d3e = dice_from_class_maps(ens, gt, C, per_slice=False)
+        for i in args.axises:
+            row2d[f"ens_DSC{i}"] = d2e[:, i].mean()
+            row3d[f"ens_DSC{i}"] = d3e[i]
+        row3d["ens_HD"] = np.nanmean([hausdorff_distance(ens == i, gt == i, spacing)
+                                      for i in args.axises])
+        rows2d.append(row2d)
+        rows3d.append(row3d)
+        print(f"  {name}: ens 3D fg dice "
+              f"{np.mean([d3e[i] for i in args.axises]):.4f}")
+
+    summary = pd.DataFrame(rows2d).set_index("patient")
+    bsummary = pd.DataFrame(rows3d).set_index("patient")
+    div = pd.DataFrame([kappa_meter.summary()])
+    summary.loc["mean"] = summary.mean()
+    bsummary.loc["mean"] = bsummary.mean()
+    summary.to_csv(run_dir / "summary.csv", float_format="%.4f")
+    bsummary.to_csv(run_dir / "bsummary.csv", float_format="%.4f")
+    div.to_csv(run_dir / "div.csv", float_format="%.4f", index=False)
+    print(f"wrote {run_dir}/summary.csv, bsummary.csv, div.csv")
+    print(bsummary.loc["mean"].to_string())
+    return {"summary": summary, "bsummary": bsummary, "div": div}
+
+
+if __name__ == "__main__":
+    main()

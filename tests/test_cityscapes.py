@@ -1,0 +1,116 @@
+"""Cityscapes dataset + city co-trainer tests on a tiny synthetic tree."""
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from dct_tpu.data.cityscapes import (
+    NUM_CLASSES,
+    CityscapesDataset,
+    decode_segmap,
+    encode_segmap,
+    get_cityscapes_split,
+)
+
+ADAM = {"name": "Adam", "lr": 1e-3}
+STEP = {"name": "StepLR", "step_size": 90, "gamma": 0.1}
+
+
+def make_synthetic_city(root: Path, n_per_city: int = 6, size: int = 64) -> Path:
+    rs = np.random.RandomState(0)
+    for mode in ("train", "val"):
+        for city in ("aachen", "bochum"):
+            img_dir = root / "leftImg8bit" / mode / city
+            gt_dir = root / "gtFine" / mode / city
+            img_dir.mkdir(parents=True, exist_ok=True)
+            gt_dir.mkdir(parents=True, exist_ok=True)
+            for i in range(n_per_city):
+                stem = f"{city}_{i:06d}_000019"
+                Image.fromarray(rs.randint(0, 255, (size, size, 3),
+                                           dtype=np.uint8)).save(
+                    img_dir / f"{stem}_leftImg8bit.png")
+                raw = rs.choice([0, 7, 8, 11, 26, 33], (size, size)).astype(np.uint8)
+                Image.fromarray(raw).save(gt_dir / f"{stem}_gtFine_labelIds.png")
+    return root
+
+
+@pytest.fixture(scope="module")
+def city_root(tmp_path_factory):
+    return make_synthetic_city(tmp_path_factory.mktemp("city"))
+
+
+class TestEncode:
+    def test_remap(self):
+        raw = np.array([[7, 8, 0], [26, 33, 29]], np.uint8)
+        enc = encode_segmap(raw)
+        assert enc[0, 0] == 0 and enc[0, 1] == 1    # road, sidewalk
+        assert enc[0, 2] == 250 and enc[1, 2] == 250  # void
+        assert enc[1, 0] == 13 and enc[1, 1] == 18   # car, bicycle
+
+    def test_decode_shape(self):
+        m = np.zeros((4, 4), np.int64)
+        assert decode_segmap(m).shape == (4, 4, 3)
+
+
+class TestDataset:
+    def test_load(self, city_root):
+        ds = CityscapesDataset(city_root, "train", image_size=(32, 32),
+                               subsample=1, quite=True)
+        assert len(ds) == 12
+        assert ds.data["img"].shape == (12, 32, 32, 3)
+        vals = set(np.unique(ds.data["gt"]))
+        assert vals <= set(range(NUM_CLASSES)) | {250}
+
+    def test_subsample(self, city_root):
+        ds = CityscapesDataset(city_root, "train", image_size=(32, 32),
+                               subsample=4, quite=True)
+        assert len(ds) == 3
+
+    def test_extract_cities(self, city_root):
+        ds = CityscapesDataset(city_root, "train", image_size=(32, 32),
+                               subsample=1, quite=True)
+        sub = ds.extract_cities(["aachen"])
+        assert len(sub) == 6 and all(c == "aachen" for c in sub.cities)
+
+    def test_split(self, city_root):
+        ds = CityscapesDataset(city_root, "train", image_size=(32, 32),
+                               subsample=1, quite=True)
+        lab, unlab = ds.split_by_proportion(0.5, seed=1)
+        assert len(lab) == 6 and len(unlab) == 6
+        assert not set(lab.filenames) & set(unlab.filenames)
+
+
+class TestCityCoTrainer:
+    def test_one_epoch(self, city_root, tmp_path):
+        from dct_tpu.losses import get_loss_fn
+        from dct_tpu.models import Segmentator
+        from dct_tpu.train import CoTrainerCity
+
+        config = {"Dataset": {"root_dir": str(city_root),
+                              "image_size": (32, 32), "subsample": 1},
+                  "Lab_Partitions": {"num_models": 2, "partition_sets": 0.5,
+                                     "partition_overlap": 0.5},
+                  "Seed": 1}
+        labeled, unlab, val = get_cityscapes_split(config)
+        segs = [Segmentator({"name": "enet", "num_classes": NUM_CLASSES,
+                             "in_channels": 3}, ADAM, STEP,
+                            jax.random.PRNGKey(i), input_shape=(1, 32, 32, 3))
+                for i in range(2)]
+        sup = get_loss_fn("cross_entropy", ignore_index=250)
+        ct = CoTrainerCity(segs, labeled, unlab, val,
+                           {"sup": sup, "jsd": get_loss_fn("jsd"),
+                            "adv": get_loss_fn("jsd")},
+                           max_epoch=1, save_dir=tmp_path / "city",
+                           adv_scheduler_dict={"name": "ConstantScheduler",
+                                               "begin_epoch": 0, "max_value": 0.05},
+                           cot_scheduler_dict={"name": "ConstantScheduler",
+                                               "begin_epoch": 0, "max_value": 0.5},
+                           adv_training_dict={"eplision": 0.03, "fsgm_ratio": 0.5},
+                           batch_size=2, iters_per_epoch=2)
+        df = ct.start_training(train_jsd=True, train_adv=True)
+        assert len(df) == 1
+        assert 0.0 <= df["val_mIoU_0"].iloc[0] <= 1.0
+        assert np.isfinite(df["adv_loss"]).all()
+        assert (tmp_path / "city" / "best_0.ckpt").exists()
