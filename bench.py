@@ -36,7 +36,10 @@ def main() -> None:
     K, B, Bu, H = 2, 4, 4, 256
     T = 30  # iterations per timed call
 
-    segs = [Segmentator({"name": "enet", "num_classes": 4},
+    # production config: bfloat16 activations (fp32 params/optimizer/logits)
+    # + single-gather nearest augmentation — see BASELINE.md for the ablation
+    segs = [Segmentator({"name": "enet", "num_classes": 4,
+                         "compute_dtype": "bfloat16"},
                         {"name": "Adam", "lr": 1e-3, "weight_decay": 1e-4},
                         {"name": "StepLR", "step_size": 90, "gamma": 0.1},
                         jax.random.PRNGKey(i), input_shape=(1, H, H, 1))

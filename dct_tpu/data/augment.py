@@ -57,16 +57,32 @@ def sample_aug_thetas(key: jax.Array, n: int, height: int, width: int) -> jnp.nd
     return jax.vmap(build)(flip_ud, flip_lr, angle, crop, off_y, off_x)
 
 
-def augment_batch(img: jnp.ndarray, gt: jnp.ndarray, key: jax.Array
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Jointly augment (B,H,W[,1]) float images and (B,H,W) int labels."""
+def augment_batch(img: jnp.ndarray, gt: jnp.ndarray, key: jax.Array,
+                  fast: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Jointly augment (B,H,W,C) float images and (B,H,W) int labels.
+
+    ``fast=True`` (default) warps img and gt together in ONE nearest-neighbor
+    gather per sample — profiling showed the 5-gather bilinear path was ~40%
+    of the whole co-train step. The reference itself resamples rotations with
+    NEAREST (ref:augment.py:253); only its crop-resize was bilinear, so this
+    changes interpolation detail, not augmentation statistics. Set
+    ``fast=False`` for the bilinear-image path.
+    """
     squeeze_c = img.ndim == 4
     im = img[..., 0] if squeeze_c else img
     b, h, w = im.shape
     thetas = sample_aug_thetas(key, b, h, w)
-    im_a = jax.vmap(affine_warp, in_axes=(0, 0, None, None))(im, thetas, "bilinear", 0.0)
-    gt_a = jax.vmap(affine_warp, in_axes=(0, 0, None, None))(
-        gt.astype(jnp.float32), thetas, "nearest", 0.0).astype(gt.dtype)
+    if fast:
+        stacked = jnp.stack([im, gt.astype(im.dtype)], axis=-1)   # (B,H,W,2)
+        out = jax.vmap(affine_warp, in_axes=(0, 0, None, None))(
+            stacked, thetas, "nearest", 0.0)
+        im_a = out[..., 0]
+        gt_a = out[..., 1].astype(gt.dtype)
+    else:
+        im_a = jax.vmap(affine_warp, in_axes=(0, 0, None, None))(
+            im, thetas, "bilinear", 0.0)
+        gt_a = jax.vmap(affine_warp, in_axes=(0, 0, None, None))(
+            gt.astype(jnp.float32), thetas, "nearest", 0.0).astype(gt.dtype)
     if squeeze_c:
         im_a = im_a[..., None]
     return im_a, gt_a

@@ -50,6 +50,7 @@ def _ratio_split_datasets(config: Dict, root_key_default: str, id_format: str):
     overlap = config["Lab_Partitions"]["partition_overlap"]
 
     root = ds_cfg.pop("root_dir", root_key_default)
+    ds_cfg.pop("name", None)
     train_set = MedicalImageDataset(root, "train", **ds_cfg)
     val_set = MedicalImageDataset(root, "val", **{**ds_cfg, "quite": True})
 
@@ -79,8 +80,9 @@ def get_gmc_split_datasets(config: Dict):
     partitioning (ref:GM_helper.py:34-101)."""
     ds_cfg = dict(config["Dataset"])
     root = ds_cfg.pop("root_dir")
+    ds_cfg.pop("name", None)
     train_all = MedicalImageDataset(root, "train", **ds_cfg)
-    unlab_set = MedicalImageDataset(root, "unlabeled", quite=True, **ds_cfg)
+    unlab_set = MedicalImageDataset(root, "unlabeled", **{**ds_cfg, "quite": True})
 
     val_set = train_all.filter_by_patterns([r"site3", r"site4"])
     train_set = train_all.filter_by_patterns([r"site1"])

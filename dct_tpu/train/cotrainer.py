@@ -28,6 +28,7 @@ from ..data.dataset import MedicalImageDataset
 from ..data.pipeline import DeviceDataset, InfiniteBatcher, PatientBuckets
 from ..models.segmentator import Segmentator, stack_states, unstack_states
 from ..schedules import get_weight_scheduler
+from ..utils.logging import RateMeter, ScalarWriter
 from .steps import make_cotrain_epoch, make_eval_patient_step
 from .trainer import DEFAULT_GRP_REGEX
 
@@ -68,6 +69,8 @@ class CoTrainer:
         self.save_dir.mkdir(parents=True, exist_ok=True)
         if whole_config:
             save_yaml(whole_config, self.save_dir / "config.yml")
+        self.writer = ScalarWriter(self.save_dir)   # ref:cotraining:69 SummaryWriter
+        self.rate_meter = RateMeter()
         self.C = self.seg.arch_params["num_classes"]
         self.axises = axises if axises is not None else [1, 2, 3]
         self.metricname = metricname
@@ -187,6 +190,18 @@ class CoTrainer:
                     df.filter(like="val_batch_dice").values)
             np.save(self.save_dir / "val_dice.npy",
                     np.asarray(df.filter(regex=r"^val_dice").values))
+
+            # tensorboard scalars, epoch-granular (ref:cotraining:444-450)
+            for s in range(self.K):
+                self.writer.add_scalars(
+                    f"val/S{s}", {f"DSC{i}": float(val_m["dice3d"][s][i])
+                                  for i in self.axises}, epoch)
+                self.writer.add_scalar(f"loss/sup_{s}",
+                                       float(train_m["sup_loss"][s]), epoch)
+            self.writer.add_scalar("loss/jsd", train_m["jsd_loss"], epoch)
+            self.writer.add_scalar("loss/adv", train_m["adv_loss"], epoch)
+            self.writer.add_scalar("perf/images_per_sec",
+                                   row["images_per_sec"], epoch)
 
             current = np.array([np.mean([val_m["dice3d"][s][i] for i in self.axises])
                                 for s in range(self.K)])
