@@ -1,4 +1,6 @@
-from .dataset import MedicalImageDataset, parse_transform_size  # noqa: F401
+from .dataset import ConcatDataset, MedicalImageDataset, parse_transform_size  # noqa: F401
+from .cityscapes import CityscapesDataset, get_cityscapes_split  # noqa: F401
+from .metainfo import classSizeCalulator, get_metainfo_generator, getImage_GT  # noqa: F401
 from .sampler import PatientSampler  # noqa: F401
 from .splits import (  # noqa: F401
     extract_patients,

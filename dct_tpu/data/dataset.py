@@ -147,3 +147,16 @@ class MedicalImageDataset:
         joint = re.compile("|".join(patterns))
         keep = [i for i, s in enumerate(self.filenames) if joint.search(s)]
         return self.subset(keep)
+
+
+class ConcatDataset:
+    """Zip-style multi-dataset (ref:generalframework/dataset/ConcatDataset.py:3-11)."""
+
+    def __init__(self, *datasets) -> None:
+        self.datasets = datasets
+
+    def __getitem__(self, i: int):
+        return tuple(d[i] for d in self.datasets)
+
+    def __len__(self) -> int:
+        return min(len(d) for d in self.datasets)

@@ -123,3 +123,58 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def one_hot2dist(seg: np.ndarray) -> np.ndarray:
+    """Signed distance map per one-hot class plane
+    (ref:generalframework/datapreprocessing/utils.py:205-215; used by
+    boundary-loss style preprocessing)."""
+    from scipy.ndimage import distance_transform_edt as distance
+
+    C = len(seg)
+    res = np.zeros_like(seg, dtype=np.float64)
+    for c in range(C):
+        posmask = seg[c].astype(bool)
+        if posmask.any():
+            negmask = ~posmask
+            res[c] = (distance(negmask) * negmask
+                      - (distance(posmask) - 1) * posmask)
+    return res
+
+
+def slice_promise(source_dir: str, dest_dir: str, shape=(256, 256),
+                  retain: int = 10, n_augment: int = 0, seed: int = 0) -> None:
+    """PROMISE12 prostate volumes → PNG tree (ref:slice_promise.py flow:
+    CaseXX.mhd/nii pairs with *_segmentation gt)."""
+    src = Path(source_dir)
+    cases = sorted(p for p in src.glob("Case*") if "_segmentation" not in p.name
+                   and p.suffix in (".nii", ".gz", ".mhd"))
+    random.Random(seed).shuffle(cases)
+    val = {c.name for c in cases[:retain]}
+    for img_p in cases:
+        stem = img_p.name.split(".")[0]
+        gt_candidates = list(src.glob(f"{stem}_segmentation.*"))
+        if not gt_candidates:
+            continue
+        mode = "val" if img_p.name in val else "train"
+        save_volume_slices(_load_nii(img_p), _load_nii(gt_candidates[0]),
+                           stem, "00", Path(dest_dir, mode), shape,
+                           n_augment if mode == "train" else 0, seed=seed)
+
+
+def slice_spleen(source_dir: str, dest_dir: str, shape=(512, 512),
+                 retain: int = 8, seed: int = 0) -> None:
+    """Task09 Spleen CT volumes → 512x512 PNG tree
+    (ref:dataset/Spleen/slice_spleen.py:30-40: nib load, per-volume norm)."""
+    src = Path(source_dir)
+    imgs = sorted((src / "imagesTr").glob("spleen_*.nii*"))
+    random.Random(seed).shuffle(imgs)
+    val = {p.name for p in imgs[:retain]}
+    for i, img_p in enumerate(imgs):
+        gt_p = src / "labelsTr" / img_p.name
+        if not gt_p.exists():
+            continue
+        mode = "val" if img_p.name in val else "train"
+        pid = f"Patient_{i:02d}"
+        save_volume_slices(_load_nii(img_p), _load_nii(gt_p), pid, "00",
+                           Path(dest_dir, mode), shape, 0, seed=seed)

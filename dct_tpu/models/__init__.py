@@ -60,3 +60,7 @@ def get_arch(arch: str, kwargs: Dict[str, Any]) -> nn.Module:
 
 
 from .segmentator import Segmentator, SegState, stack_states, unstack_states  # noqa: E402,F401
+
+# the reference exports a byte-duplicate 'Model' alongside Segmentator
+# (ref:generalframework/models/general.py:17-116); alias for API parity
+Model = Segmentator
