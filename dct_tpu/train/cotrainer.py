@@ -19,6 +19,7 @@ from pathlib import Path
 from typing import Callable, Dict, List, Optional, Union
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
@@ -29,7 +30,7 @@ from ..data.pipeline import DeviceDataset, InfiniteBatcher, PatientBuckets
 from ..models.segmentator import Segmentator, stack_states, unstack_states
 from ..schedules import get_weight_scheduler
 from ..utils.logging import RateMeter, ScalarWriter
-from .steps import make_cotrain_epoch, make_eval_patient_step
+from .steps import make_cotrain_epoch, make_eval_all_step, make_eval_patient_step
 from .trainer import DEFAULT_GRP_REGEX
 
 ITERS_PER_EPOCH = 300  # ref:cotraining_totalloss.py:191
@@ -106,6 +107,9 @@ class CoTrainer:
                                              self.unlab_batch_size, self.rs)
         self.val_buckets = PatientBuckets(val_dataset, grp_regex)
         self.eval_step = make_eval_patient_step(self.seg, self.C)
+        self.eval_all = make_eval_all_step(self.seg, self.C)
+        self._val_idx = jnp.asarray(self.val_buckets.indices)
+        self._val_mask = jnp.asarray(self.val_buckets.mask)
 
         # Stack params/batch_stats across models; the optimizer state is
         # initialized ONCE over the stacked params (optax moments are
@@ -253,16 +257,12 @@ class CoTrainer:
         dice2d = np.zeros((self.K, self.C))
         dice3d = np.zeros((self.K, self.C))
         for s, st in enumerate(states):
-            rows2d, rows3d = [], []
-            for p in range(len(self.val_buckets)):
-                idx = self.val_buckets.indices[p]
-                mask = self.val_buckets.mask[p]
-                out = self.eval_step(st["params"], st["batch_stats"],
-                                     self.val_dev.img, self.val_dev.gt, idx, mask)
-                rows2d.append(np.asarray(out["dice2d"])[mask])
-                rows3d.append(np.asarray(out["dice3d"]))
-            dice2d[s] = np.concatenate(rows2d, 0).mean(0)
-            dice3d[s] = np.stack(rows3d, 0).mean(0)
+            out = self.eval_all(st["params"], st["batch_stats"],
+                                self.val_dev.img, self.val_dev.gt,
+                                self._val_idx, self._val_mask)
+            d2 = np.asarray(out["dice2d"])          # (P,L,C)
+            dice2d[s] = d2[self.val_buckets.mask].mean(0)
+            dice3d[s] = np.asarray(out["dice3d"]).mean(0)
         return {"dice2d": dice2d, "dice3d": dice3d}
 
     # ------------------------------------------------------------------

@@ -36,7 +36,7 @@ from ..losses import mse_probs
 from ..models.segmentator import Segmentator
 from ..optim import apply_direction
 from ..schedules import get_weight_scheduler
-from .steps import make_eval_patient_step
+from .steps import make_eval_all_step
 from .trainer import DEFAULT_GRP_REGEX
 
 
@@ -160,7 +160,7 @@ class MeanTeacherTrainer:
         self.unlab_batcher = InfiniteBatcher(len(unlabeled_dataset), batch_size, self.rs)
         self.iters_per_epoch = max(len(labeled_dataset) // batch_size, 1)
         self.val_buckets = PatientBuckets(val_dataset, grp_regex)
-        self.eval_step = make_eval_patient_step(self.student, self.C)
+        self.eval_all = make_eval_all_step(self.student, self.C)
         self.epoch_fn = make_mean_teacher_epoch(self.student, criterions["sup"],
                                                 self.C, ema_alpha)
 
@@ -211,16 +211,12 @@ class MeanTeacherTrainer:
         return pd.DataFrame(records)
 
     def _eval_epoch(self) -> Dict:
-        rows2d, rows3d = [], []
         t = self.state["teacher"]
-        for p in range(len(self.val_buckets)):
-            out = self.eval_step(t["params"], t["batch_stats"],
-                                 self.val_dev.img, self.val_dev.gt,
-                                 self.val_buckets.indices[p], self.val_buckets.mask[p])
-            rows2d.append(np.asarray(out["dice2d"])[self.val_buckets.mask[p]])
-            rows3d.append(np.asarray(out["dice3d"]))
-        return {"dice2d": np.concatenate(rows2d, 0).mean(0),
-                "dice3d": np.stack(rows3d, 0).mean(0)}
+        out = self.eval_all(t["params"], t["batch_stats"],
+                            self.val_dev.img, self.val_dev.gt,
+                            self.val_buckets.indices, self.val_buckets.mask)
+        return {"dice2d": np.asarray(out["dice2d"])[self.val_buckets.mask].mean(0),
+                "dice3d": np.asarray(out["dice3d"]).mean(0)}
 
     def save_checkpoint(self, metric: float, epoch: int) -> None:
         # built from self.state only — the segmentators' construction-time

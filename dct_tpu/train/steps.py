@@ -107,8 +107,7 @@ def make_eval_patient_step(seg: Segmentator, C: int, loss_weight=None) -> Callab
     CE loss, argmax prediction map. 3D dice = ``bcwh->c`` over the volume
     (padded slices excluded by the mask)."""
 
-    @jax.jit
-    def step(params, batch_stats, img_u8, gt_u8, idx, mask):
+    def body(params, batch_stats, img_u8, gt_u8, idx, mask):
         img, gt = normalize_gather(img_u8, gt_u8, idx)
         logits = seg.apply_eval(params, batch_stats, img)
         maskf = mask.astype(logits.dtype)
@@ -121,6 +120,37 @@ def make_eval_patient_step(seg: Segmentator, C: int, loss_weight=None) -> Callab
         dice3d = (2 * inter + 1e-8) / (sums + 1e-8)              # (C,)
         return {"dice2d": dice2d, "dice3d": dice3d, "loss": loss,
                 "pred": jnp.argmax(logits, axis=-1)}
+
+    return jax.jit(body)
+
+
+def make_eval_all_step(seg: Segmentator, C: int, loss_weight=None) -> Callable:
+    """Whole-val-set eval in ONE jit call: ``step(params, batch_stats,
+    img_u8, gt_u8, indices (P,L), masks (P,L))`` → dict of per-patient
+    stacked metrics {dice2d (P,L,C), dice3d (P,C), loss (P,)}. A lax.map over
+    patient buckets — compiles once, no per-patient dispatch/host syncs
+    (predictions are not materialized; use make_eval_patient_step to dump
+    masks)."""
+
+    def one_patient(params, batch_stats, img_u8, gt_u8, idx, mask):
+        img, gt = normalize_gather(img_u8, gt_u8, idx)
+        logits = seg.apply_eval(params, batch_stats, img)
+        maskf = mask.astype(logits.dtype)
+        loss = _masked_ce(logits, gt, maskf, loss_weight)
+        pred_oh = probs2one_hot(jax.nn.softmax(logits, axis=-1)) * maskf[:, None, None, None]
+        gt_oh = class2one_hot(gt, C) * maskf[:, None, None, None]
+        dice2d = dice_coef(gt_oh, pred_oh)
+        inter = jnp.sum(gt_oh * pred_oh, axis=(0, 1, 2))
+        sums = jnp.sum(gt_oh, axis=(0, 1, 2)) + jnp.sum(pred_oh, axis=(0, 1, 2))
+        return {"dice2d": dice2d,
+                "dice3d": (2 * inter + 1e-8) / (sums + 1e-8),
+                "loss": loss}
+
+    @jax.jit
+    def step(params, batch_stats, img_u8, gt_u8, indices, masks):
+        return jax.lax.map(
+            lambda xs: one_patient(params, batch_stats, img_u8, gt_u8, *xs),
+            (indices, masks))
 
     return step
 

@@ -26,7 +26,7 @@ from ..data.dataset import MedicalImageDataset
 from ..data.pipeline import DeviceDataset, EpochBatcher, PatientBuckets
 from ..models.segmentator import Segmentator
 from ..utils.general import save_images
-from .steps import make_eval_patient_step, make_supervised_epoch
+from .steps import make_eval_all_step, make_eval_patient_step, make_supervised_epoch
 
 DEFAULT_GRP_REGEX = r"(patient\d+_\d+)_\d+"
 
@@ -68,6 +68,7 @@ class Trainer:
         self.batcher = EpochBatcher(len(self.train_set), batch_size)
         self.val_buckets = PatientBuckets(self.val_set, grp_regex)
         self.eval_step = make_eval_patient_step(segmentator, self.C)
+        self.eval_all = make_eval_all_step(segmentator, self.C)
         self._epoch_fns: Dict[bool, Callable] = {}
 
         if checkpoint is not None:
@@ -132,27 +133,24 @@ class Trainer:
                 "loss": loss, "n_images": idx.size, "train_time": train_time}
 
     def _eval_epoch(self, epoch: int, save: bool = False) -> Dict:
-        dice2d_rows, dice3d_rows, losses = [], [], []
         params = self.segmentator.state["params"]
         bs = self.segmentator.state["batch_stats"]
-        for p in range(len(self.val_buckets)):
-            idx = self.val_buckets.indices[p]
-            mask = self.val_buckets.mask[p]
-            out = self.eval_step(params, bs, self.val_dev.img, self.val_dev.gt,
-                                 idx, mask)
-            dice2d_rows.append(np.asarray(out["dice2d"])[mask])
-            dice3d_rows.append(np.asarray(out["dice3d"]))
-            losses.append(float(out["loss"]))
-            if save:
+        if save:  # slow path: per-patient calls that materialize predictions
+            for p in range(len(self.val_buckets)):
+                idx = self.val_buckets.indices[p]
+                mask = self.val_buckets.mask[p]
+                out = self.eval_step(params, bs, self.val_dev.img,
+                                     self.val_dev.gt, idx, mask)
                 preds = np.asarray(out["pred"])[mask]
                 names = [self.val_set.filenames[i] for i in idx[mask]]
-                save_images(preds, names, self.save_dir, ModelMode.EVAL.value.lower(),
-                            iter=epoch)
-        dice2d = np.concatenate(dice2d_rows, 0)
-        dice3d = np.stack(dice3d_rows, 0)
+                save_images(preds, names, self.save_dir,
+                            ModelMode.EVAL.value.lower(), iter=epoch)
+        out = self.eval_all(params, bs, self.val_dev.img, self.val_dev.gt,
+                            self.val_buckets.indices, self.val_buckets.mask)
+        dice2d = np.asarray(out["dice2d"])[self.val_buckets.mask]
         return {"dice2d_per_class": dice2d.mean(0),
-                "dice3d_per_class": dice3d.mean(0),
-                "loss": float(np.mean(losses))}
+                "dice3d_per_class": np.asarray(out["dice3d"]).mean(0),
+                "loss": float(np.mean(np.asarray(out["loss"])))}
 
     # ------------------------------------------------------------------
     def checkpoint(self, metric: float, epoch: int, filename: str = "best.ckpt") -> None:

@@ -32,7 +32,7 @@ from ..losses import kl_div_2d
 from ..models.segmentator import Segmentator
 from ..optim import apply_direction
 from ..schedules import get_weight_scheduler
-from .steps import _dice_rows, make_eval_patient_step
+from .steps import _dice_rows, make_eval_all_step
 from .trainer import DEFAULT_GRP_REGEX
 
 
@@ -134,7 +134,7 @@ class VatTrainer:
         self.unlab_batcher = InfiniteBatcher(len(unlabeled_dataset), batch_size, self.rs)
         self.iters_per_epoch = max(len(labeled_dataset) // batch_size, 1)
         self.val_buckets = PatientBuckets(val_dataset, grp_regex)
-        self.eval_step = make_eval_patient_step(segmentator, self.C)
+        self.eval_all = make_eval_all_step(segmentator, self.C)
         self._epoch_fns: Dict = {}
 
         import jax.numpy as jnp2
@@ -194,16 +194,12 @@ class VatTrainer:
         return pd.DataFrame(records)
 
     def _eval_epoch(self) -> Dict:
-        rows2d, rows3d = [], []
         st = self.segmentator.state
-        for p in range(len(self.val_buckets)):
-            out = self.eval_step(st["params"], st["batch_stats"],
-                                 self.val_dev.img, self.val_dev.gt,
-                                 self.val_buckets.indices[p], self.val_buckets.mask[p])
-            rows2d.append(np.asarray(out["dice2d"])[self.val_buckets.mask[p]])
-            rows3d.append(np.asarray(out["dice3d"]))
-        return {"dice2d": np.concatenate(rows2d, 0).mean(0),
-                "dice3d": np.stack(rows3d, 0).mean(0)}
+        out = self.eval_all(st["params"], st["batch_stats"],
+                            self.val_dev.img, self.val_dev.gt,
+                            self.val_buckets.indices, self.val_buckets.mask)
+        return {"dice2d": np.asarray(out["dice2d"])[self.val_buckets.mask].mean(0),
+                "dice3d": np.asarray(out["dice3d"]).mean(0)}
 
     def checkpoint(self, metric: float, epoch: int) -> None:
         payload = {"segmentator": self.segmentator.state_dict,
