@@ -130,10 +130,11 @@ def main(argv=None) -> Dict[str, pd.DataFrame]:
     spacing_by_patient = {}
     info_path = args.patient_info or Path(root, "patient_info.csv")
     if Path(info_path).exists():
-        info = pd.read_csv(info_path, index_col=0)
+        # headerless csv: patientXXX,<in-plane voxel spacing scalar>
+        # (ref:Summary.py:48,156 passes the scalar as voxelspacing)
+        info = pd.read_csv(info_path, header=None, index_col=0)
         for pid, rowi in info.iterrows():
-            vals = rowi.values.astype(float)[:2]
-            spacing_by_patient[str(pid)] = tuple(vals)
+            spacing_by_patient[str(pid)] = float(rowi.values[0])
 
     import jax.numpy as jnp
 
