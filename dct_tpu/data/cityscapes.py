@@ -11,7 +11,7 @@ RGB images resize bilinearly to ``image_size``; labels nearest.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import numpy as np
 from PIL import Image

@@ -8,7 +8,7 @@ generators exist for API parity and for class-size statistics.
 """
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -17,7 +17,7 @@ Parity notes:
 """
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ restores 256. H and W must be divisible by 8.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -10,9 +10,9 @@ from __future__ import annotations
 
 import argparse
 import re
-from functools import partial
+
 from pathlib import Path
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 
 def extract(pattern: str, string: str) -> Optional[str]:

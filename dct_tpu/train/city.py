@@ -35,7 +35,7 @@ from ..losses import jsd_2d, kl_div_2d
 from ..models.segmentator import Segmentator, stack_states, unstack_states
 from ..optim import apply_direction
 from ..schedules import get_weight_scheduler
-from .steps import _masked_ce
+
 
 
 def make_city_eval_step(seg: Segmentator, C: int) -> Callable:
