@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Cityscapes co-training entry point (parity with the reference's
+CoTrainer_City path, ref:generalframework/trainer/cotraining_city.py).
+
+    python train_cotraining_city.py [--config configs/cityscapes_cotraining.yaml] \
+        Dataset.root_dir=/path/to/Cityscapes Trainer.save_dir=runs/city
+"""
+from __future__ import annotations
+
+import sys
+
+import jax
+
+from dct_tpu.config import yaml_parser
+from dct_tpu.data.cityscapes import get_cityscapes_split
+from dct_tpu.losses import get_loss_fn
+from dct_tpu.models import Segmentator
+from dct_tpu.train import CoTrainerCity
+from dct_tpu.utils.general import fix_all_seed
+
+DEFAULT_CONFIG = "configs/cityscapes_cotraining.yaml"
+
+
+def main(argv=None) -> CoTrainerCity:
+    config = yaml_parser(DEFAULT_CONFIG, argv)
+    rng = fix_all_seed(int(config.get("Seed", 1234)))
+
+    labeled, unlab, val = get_cityscapes_split(config)
+    h, w = config["Dataset"].get("image_size", (256, 512))
+    n_models = int(config["Lab_Partitions"]["num_models"])
+    segs = [Segmentator(config["Arch"], config["Optim"], config["Scheduler"],
+                        jax.random.fold_in(rng, i), input_shape=(1, h, w, 3))
+            for i in range(n_models)]
+
+    loss_cfg = dict(config.get("Loss", {"name": "cross_entropy"}))
+    sup = get_loss_fn(loss_cfg.pop("name"), **loss_cfg)
+    criterions = {"sup": sup, "jsd": get_loss_fn("jsd"), "adv": get_loss_fn("jsd")}
+
+    trainer_cfg = config["Trainer"]
+    trainer = CoTrainerCity(
+        segs, labeled, unlab, val, criterions,
+        max_epoch=int(trainer_cfg["max_epoch"]),
+        save_dir=trainer_cfg["save_dir"],
+        checkpoint=trainer_cfg.get("checkpoint"),
+        metricname=trainer_cfg.get("metricname", "metrics.csv"),
+        cot_scheduler_dict=config.get("Cot_Scheduler"),
+        adv_scheduler_dict=config.get("Adv_Scheduler"),
+        adv_training_dict=config.get("Adv_Training", {}),
+        batch_size=int(config["Lab_Dataloader"]["batch_size"]),
+        seed=int(config.get("Seed", 1234)),
+        whole_config=config,
+    )
+    st = {k: v for k, v in config.get("StartTraining", {}).items()
+          if k in ("train_jsd", "train_adv", "save_val")}
+    trainer.start_training(**st)
+    return trainer
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
