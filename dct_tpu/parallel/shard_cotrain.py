@@ -126,7 +126,7 @@ def make_shard_cotrain_epoch(seg: Segmentator, mesh: Mesh, K: int, C: int,
 
             total = supervised + lam_cot * jsd_loss + lam_adv * adv_loss
             return total, {"sup": supervised, "jsd": jsd_loss, "adv": adv_loss,
-                           "batch_stats": bs}
+                           "batch_stats": bs, "lab_logits": logits}
 
         (_, aux), grads = jax.value_and_grad(total_loss, has_aux=True)(
             carry["params"])
@@ -139,8 +139,10 @@ def make_shard_cotrain_epoch(seg: Segmentator, mesh: Mesh, K: int, C: int,
         new_params = apply_direction(carry["params"], direction, lr)
         new_carry = {"params": new_params, "batch_stats": bs,
                      "opt_state": new_opt}
+        from ..train.steps import _dice_rows
         metrics = {"sup_loss": jax.lax.pmean(aux["sup"], "data"),
-                   "jsd_loss": aux["jsd"], "adv_loss": aux["adv"]}
+                   "jsd_loss": aux["jsd"], "adv_loss": aux["adv"],
+                   "lab_dice": _dice_rows(aux["lab_logits"], gt, C)}
         return new_carry, metrics
 
     def shard_body(state_l, img_u8, gt_u8, idx_lab_l, idx_unlab_l, pairs, keys,

@@ -55,6 +55,7 @@ class CoTrainer:
                  grp_regex: str = DEFAULT_GRP_REGEX,
                  iters_per_epoch: int = ITERS_PER_EPOCH,
                  seed: int = 1234,
+                 mesh=None,
                  whole_config: Optional[dict] = None) -> None:
         assert len(segmentators) == len(labeled_datasets)
         assert len(segmentators) >= 1
@@ -121,6 +122,12 @@ class CoTrainer:
         self.stacked_state = {"params": stacked["params"],
                               "batch_stats": stacked["batch_stats"],
                               "opt_state": self.seg.tx.init(stacked["params"])}
+        # optional model-parallel execution: a ('model','data') mesh routes
+        # the epoch through the shard_map step (one model per model group)
+        self.mesh = mesh
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            assert mesh.shape["model"] == self.K, \
+                f"mesh model axis {mesh.shape['model']} != K={self.K}"
         self._epoch_fns: Dict = {}
 
         if checkpoint is not None:
@@ -130,9 +137,18 @@ class CoTrainer:
     def _epoch_fn(self, train_jsd, train_adv, aug_lab, aug_unlab):
         sig = (train_jsd, train_adv, aug_lab, aug_unlab)
         if sig not in self._epoch_fns:
-            self._epoch_fns[sig] = make_cotrain_epoch(
-                self.seg, self.K, self.C, self.criterions["sup"],
-                train_jsd, train_adv, aug_lab, aug_unlab, self.eps_fgsm)
+            if self.mesh is not None and self.mesh.shape.get("model", 1) > 1:
+                from ..parallel.shard_cotrain import make_shard_cotrain_epoch
+                fn = make_shard_cotrain_epoch(
+                    self.seg, self.mesh, self.K, self.C, self.criterions["sup"],
+                    train_jsd, train_adv, aug_lab, self.eps_fgsm,
+                    state_template=self.stacked_state)
+                self._epoch_fns[sig] = ("shard", fn)
+            else:
+                fn = make_cotrain_epoch(
+                    self.seg, self.K, self.C, self.criterions["sup"],
+                    train_jsd, train_adv, aug_lab, aug_unlab, self.eps_fgsm)
+                self._epoch_fns[sig] = ("vmap", fn)
         return self._epoch_fns[sig]
 
     # The labeled streams index their own arrays, but the fused epoch expects
@@ -232,13 +248,22 @@ class CoTrainer:
         lam_cot = self.cot_scheduler.value
         lam_adv = self.adv_scheduler.value
 
+        kind, fn = epoch_fn
         t0 = time.time()
-        self.stacked_state, metrics = epoch_fn(
+        self.stacked_state, metrics = fn(
             self.stacked_state, self._lab_img_cat, self._lab_gt_cat,
             idx_lab, idx_unlab, pairs, key, lr, lam_cot, lam_adv)
-        lab_dice = np.asarray(metrics["lab_dice"])    # (T,K,B,C)
         train_time = time.time() - t0
         n_images = idx_lab.size + (idx_unlab.size if (train_jsd or train_adv) else 0)
+        if kind == "shard":
+            # shard metrics lead with the model axis: (K,T,...)
+            lab_dice = np.asarray(metrics["lab_dice"])          # (K,T,B,C)
+            return {"lab_dice": lab_dice.reshape(self.K, -1, self.C).mean(1),
+                    "sup_loss": np.asarray(metrics["sup_loss"]).mean(1),
+                    "jsd_loss": float(np.mean(np.asarray(metrics["jsd_loss"]))),
+                    "adv_loss": float(np.sum(np.asarray(metrics["adv_loss"]), 0).mean()),
+                    "n_images": n_images, "train_time": train_time}
+        lab_dice = np.asarray(metrics["lab_dice"])              # (T,K,B,C)
         return {"lab_dice": lab_dice.transpose(1, 0, 2, 3).reshape(
                     self.K, -1, self.C).mean(1),
                 "sup_loss": np.asarray(metrics["sup_loss"]).mean(0),

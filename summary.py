@@ -82,7 +82,8 @@ def main(argv=None) -> Dict[str, pd.DataFrame]:
     parser.add_argument("--ensemble_method", default="soft", choices=["soft", "hard"])
     parser.add_argument("--dataset_root", default=None,
                         help="override Dataset.root_dir from the run config")
-    parser.add_argument("--axises", nargs="+", type=int, default=[1, 2, 3])
+    parser.add_argument("--axises", "--kappa_considered_class", dest="axises",
+                        nargs="+", type=int, default=[1, 2, 3])
     parser.add_argument("--patient_info", default=None,
                         help="csv with per-patient voxel spacing for Hausdorff")
     args = parser.parse_args(argv)

@@ -109,3 +109,36 @@ def test_model_and_data_axes():
     fresh_l = jax.tree_util.tree_leaves(fresh["params"])
     assert any(not np.allclose(np.asarray(a), np.asarray(f))
                for a, f in zip(after, fresh_l))
+
+
+def test_cotrainer_with_mesh(tmp_path):
+    """CoTrainer(mesh=...) routes through the shard_map epoch end-to-end."""
+    import sys
+    sys.path.insert(0, "tests")
+    from helpers import make_synthetic_acdc
+
+    from dct_tpu.data import MedicalImageDataset
+    from dct_tpu.train import CoTrainer
+
+    root = make_synthetic_acdc(tmp_path / "acdc", size=32)
+    tr = MedicalImageDataset(root, "train", transform=(32, 32), quite=True)
+    va = MedicalImageDataset(root, "val", transform=(32, 32), quite=True)
+    lab = [tr.filter_by_patterns([f"patient{p:03d}" for p in ids])
+           for ids in ([1, 2, 3], [3, 4, 5])]
+    unlab = tr.filter_by_patterns([f"patient{p:03d}" for p in range(6, 11)])
+    segs = [Segmentator({"name": "enet", "num_classes": 4}, ADAM, STEP,
+                        jax.random.PRNGKey(i), input_shape=(1, 32, 32, 1))
+            for i in range(2)]
+    from dct_tpu.losses import get_loss_fn as glf
+    ct = CoTrainer(segs, lab, unlab, va,
+                   {"sup": glf("cross_entropy"), "jsd": glf("jsd"),
+                    "adv": glf("jsd")},
+                   max_epoch=1, save_dir=tmp_path / "run", axises=[1, 2, 3],
+                   batch_size=4, iters_per_epoch=3,
+                   mesh=make_mesh(8, n_model=2))
+    df = ct.start_training(train_jsd=True, train_adv=True,
+                           augment_labeled_data=True)
+    assert len(df) == 1
+    assert np.isfinite(df["jsd_loss"]).all()
+    assert np.isfinite(df["adv_loss"]).all()
+    assert (tmp_path / "run" / "best_0.ckpt").exists()
