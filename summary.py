@@ -140,10 +140,17 @@ def main(argv=None) -> Dict[str, pd.DataFrame]:
     import jax.numpy as jnp
 
     @jax.jit
-    def probs_of(params, batch_stats, idx):
-        img = jnp.take(dev.img, idx, axis=0).astype(jnp.float32)[..., None] / 255.0
+    def _probs_of(params, batch_stats, img_u8, idx):
+        img = jnp.take(img_u8, idx, axis=0).astype(jnp.float32) / 255.0
+        if img.ndim == 3:
+            img = img[..., None]
         logits = segs[0].apply_eval(params, batch_stats, img)
         return jax.nn.softmax(logits, axis=-1)
+
+    def probs_of(params, batch_stats, idx):
+        # dataset array passed as an argument (device-resident), not closed
+        # over — closures embed it as a compile-time constant
+        return _probs_of(params, batch_stats, dev.img, idx)
 
     kappa_meter = KappaMetrics()
     rows2d, rows3d = [], []
