@@ -23,10 +23,15 @@ def _to_numpy(tree):
 
 
 def save_checkpoint(path: Union[str, Path], payload: Dict[str, Any]) -> None:
+    """Atomic write (tmp + rename): a kill mid-write must never leave a
+    truncated checkpoint behind (the restart-on-24h-limit workflow the
+    reference documents depends on these files, ref:utils/run_help.md:5)."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    with open(path, "wb") as f:
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    with open(tmp, "wb") as f:
         pickle.dump(_to_numpy(payload), f, protocol=pickle.HIGHEST_PROTOCOL)
+    tmp.replace(path)
 
 
 def load_checkpoint(path: Union[str, Path]) -> Dict[str, Any]:

@@ -340,9 +340,13 @@ class CoTrainer:
         stacked = stack_states([{"params": p, "batch_stats": b}
                                 for p, b in zip(params, bss)])
         opt_path = Path(checkpoint_dir) / "opt_state.ckpt"
+        opt_state = None
         if opt_path.exists():
-            opt_state = load_checkpoint(opt_path)["opt_state"]
-        else:
+            try:
+                opt_state = load_checkpoint(opt_path)["opt_state"]
+            except Exception as e:  # truncated/corrupt file: warm-start fresh
+                print(f">>> opt_state.ckpt unreadable ({e}); reinitializing optimizer")
+        if opt_state is None:
             opt_state = self.seg.tx.init(stacked["params"])
         self.stacked_state = {"params": stacked["params"],
                               "batch_stats": stacked["batch_stats"],
