@@ -26,21 +26,26 @@ def _interpret() -> bool:
 
 
 def _pool_mask_kernel(x_ref, pooled_ref, mask_ref):
+    # reshape-based windowing: strided slices (x[0::2]) lower to gathers that
+    # mosaic rejects ("Only 2D gather is supported"); singleton-axis indexing
+    # of a reshaped view lowers cleanly
     x = x_ref[0]                        # (2*BR, W, C) block
-    a = x[0::2, 0::2, :]
-    b = x[0::2, 1::2, :]
-    c = x[1::2, 0::2, :]
-    d = x[1::2, 1::2, :]
+    h2, w2, ch = x.shape
+    xr = x.reshape(h2 // 2, 2, w2 // 2, 2, ch)
+    a = xr[:, 0, :, 0, :]
+    b = xr[:, 0, :, 1, :]
+    c = xr[:, 1, :, 0, :]
+    d = xr[:, 1, :, 1, :]
     pooled = jnp.maximum(jnp.maximum(a, b), jnp.maximum(c, d))
     m00 = (a == pooled)
     m01 = (b == pooled) & ~m00
     m10 = (c == pooled) & ~m00 & ~m01
     m11 = ~m00 & ~m01 & ~m10
     pooled_ref[0] = pooled
-    h, w, ch = pooled.shape
+    h, w = pooled.shape[:2]
     dt = x.dtype
-    top = jnp.stack([m00.astype(dt), m01.astype(dt)], axis=2).reshape(h, 2 * w, ch)
-    bot = jnp.stack([m10.astype(dt), m11.astype(dt)], axis=2).reshape(h, 2 * w, ch)
+    top = jnp.stack([m00.astype(dt), m01.astype(dt)], axis=2)   # (h,w,2,C)
+    bot = jnp.stack([m10.astype(dt), m11.astype(dt)], axis=2)
     mask_ref[0] = jnp.stack([top, bot], axis=1).reshape(2 * h, 2 * w, ch)
 
 
@@ -68,7 +73,9 @@ def max_pool_2x2_with_mask_pallas(x: jnp.ndarray, block_rows: int = 16
 def _unpool_kernel(y_ref, mask_ref, out_ref):
     y = y_ref[0]                        # (BR, W2, C)
     m = mask_ref[0]                     # (2*BR, 2*W2, C)
-    up = jnp.repeat(jnp.repeat(y, 2, axis=0), 2, axis=1)
+    h, w, ch = y.shape
+    up = jnp.broadcast_to(y[:, None, :, None, :],
+                          (h, 2, w, 2, ch)).reshape(2 * h, 2 * w, ch)
     out_ref[0] = up * m
 
 
