@@ -1,9 +1,9 @@
 """Architecture registry (ref:generalframework/arch/__init__.py:39-81).
 
-String → flax module constructor. The reference registers 14 archs; the
-TPU rebuild ships the ones its experiment configs exercise (enet — every
-medical config; unet/unet_bn — alternates) and grows the registry as further
-families land. ``get_arch`` returns a *module definition*; parameters are
+String → flax module constructor. All 14 reference registry entries
+(ref:arch/__init__.py:39-53) are present, plus ``pspnet`` (the reference
+ships the class as dead code and never registers it — see models/pspnet.py).
+``get_arch`` returns a *module definition*; parameters are
 created by ``Segmentator`` (init is where the reference applies weights_init —
 here init parity is baked into each module's kernel/scale initializers).
 """
@@ -17,6 +17,7 @@ from .deeplab import DeepLabV2, DeepLabV3, DeepLabV3Plus
 from .enet import Enet
 from .joseent import CorstemNet, JEnet
 from .fcn import FCN8, FCN16, FCN32
+from .pspnet import PSPNet
 from .segnet import SegNet
 from .unet import UNet
 
@@ -41,11 +42,16 @@ _register_arch("fcn8", FCN8)
 _register_arch("fcn16", FCN16)
 _register_arch("fcn32", FCN32)
 _register_arch("segnet", SegNet)
+_register_arch("pspnet", PSPNet)
 _register_arch("deeplabv2", DeepLabV2)
 _register_arch("deeplabv3", DeepLabV3)
 _register_arch("deeplabv3plus", DeepLabV3Plus)
 _register_arch("jenet", JEnet)
 _register_arch("cnet", CorstemNet)
+# reference's 3-channel Cityscapes ENet (ref:arch/__init__.py:51,
+# arch/deeplab/enet.py) — the TPU Enet is channel-parametric, so the
+# registry entry just pins the RGB default
+_register_arch("deeplabenet", lambda **kw: Enet(**{"in_channels": 3, **kw}))
 from .classifiers import ResNet18, VGG11  # noqa: E402
 _register_arch("vgg11", VGG11)
 _register_arch("resnet18", ResNet18)

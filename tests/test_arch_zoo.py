@@ -41,6 +41,36 @@ class TestDeepLab:
         assert isinstance(outs_train, list) and len(outs_train) == 4
 
 
+class TestPSPNet:
+    def test_full_res_and_adaptive_pool(self, rng):
+        import numpy as np
+        from dct_tpu.models.pspnet import adaptive_avg_pool
+        # adaptive pool matches torch AdaptiveAvgPool2d cell boundaries on a
+        # non-divisible size (H=7, bins=3 → overlapping cells [0,3) [2,5) [4,7))
+        x = jnp.arange(7 * 7, dtype=jnp.float32).reshape(1, 7, 7, 1)
+        got = np.asarray(adaptive_avg_pool(x, 3))
+        lo = [(i * 7) // 3 for i in range(3)]
+        hi = [-(-((i + 1) * 7) // 3) for i in range(3)]
+        want = np.array([[x[0, lo[i]:hi[i], lo[j]:hi[j], 0].mean()
+                          for j in range(3)] for i in range(3)])
+        assert np.allclose(got[0, :, :, 0], want)
+
+        seg = Segmentator({"name": "pspnet", "num_classes": 4,
+                           "n_blocks": [1, 1, 1, 1], "psp_channels": 16},
+                          ADAM, STEP, rng, input_shape=(1, 64, 64, 1))
+        out = seg.apply_eval(seg.state["params"], seg.state["batch_stats"],
+                             jnp.zeros((1, 64, 64, 1)))
+        assert out.shape == (1, 64, 64, 4)
+
+    def test_deeplabenet_registered(self, rng):
+        # ref:arch/__init__.py:51 registers the 3-channel Cityscapes ENet
+        seg = Segmentator({"name": "deeplabenet", "num_classes": 19},
+                          ADAM, STEP, rng, input_shape=(1, 32, 32, 3))
+        out = seg.apply_eval(seg.state["params"], seg.state["batch_stats"],
+                             jnp.zeros((1, 32, 32, 3)))
+        assert out.shape == (1, 32, 32, 19)
+
+
 class TestJoseent:
     def test_jenet_shape(self, rng):
         seg = Segmentator({"name": "jenet", "num_classes": 2}, ADAM, STEP, rng,
