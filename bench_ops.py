@@ -46,7 +46,9 @@ if __name__ == "__main__":
 
     img = jax.random.uniform(rng, (12, 256, 256, 1))
     gt = jax.random.randint(rng, (12, 256, 256), 0, 4)
-    fast = jax.jit(lambda i, g, k: augment_batch(i, g, k, fast=True))
+    shear = jax.jit(lambda i, g, k: augment_batch(i, g, k, impl="shear"))
+    fast = jax.jit(lambda i, g, k: augment_batch(i, g, k, impl="gather"))
     slow = jax.jit(lambda i, g, k: augment_batch(i, g, k, fast=False))
+    print(f"augment 12x256²: shear(LDU) {timeit(shear, img, gt, rng)*1e3:.2f}ms  ", end="")
     print(f"augment 12x256²: fast(nearest,joint) {timeit(fast, img, gt, rng)*1e3:.2f}ms  "
           f"bilinear {timeit(slow, img, gt, rng)*1e3:.2f}ms")

@@ -58,15 +58,19 @@ def sample_aug_thetas(key: jax.Array, n: int, height: int, width: int) -> jnp.nd
 
 
 def augment_batch(img: jnp.ndarray, gt: jnp.ndarray, key: jax.Array,
-                  fast: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                  fast: bool = True, impl: str = "shear"
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Jointly augment (B,H,W,C) float images and (B,H,W) int labels.
 
-    ``fast=True`` (default) warps img and gt together in ONE nearest-neighbor
-    gather per sample — profiling showed the 5-gather bilinear path was ~40%
-    of the whole co-train step. The reference itself resamples rotations with
-    NEAREST (ref:augment.py:253); only its crop-resize was bilinear, so this
-    changes interpolation detail, not augmentation statistics. Set
-    ``fast=False`` for the bilinear-image path.
+    ``fast=True`` (default) warps img and gt together nearest-neighbor in one
+    pass — profiling showed the 5-gather bilinear path was ~40% of the whole
+    co-train step. The reference itself resamples rotations with NEAREST
+    (ref:augment.py:253); only its crop-resize was bilinear, so this changes
+    interpolation detail, not augmentation statistics. ``impl`` picks the
+    fast-path kernel: "shear" = the LDU shear decomposition (contiguous row
+    slices + one-hot MXU matmuls — lane-efficient, see ops/warp.py), "gather"
+    = the exact per-pixel nearest gather. Set ``fast=False`` for the
+    bilinear-image path.
     """
     squeeze_c = img.ndim == 4
     im = img[..., 0] if squeeze_c else img
@@ -74,8 +78,12 @@ def augment_batch(img: jnp.ndarray, gt: jnp.ndarray, key: jax.Array,
     thetas = sample_aug_thetas(key, b, h, w)
     if fast:
         stacked = jnp.stack([im, gt.astype(im.dtype)], axis=-1)   # (B,H,W,2)
-        out = jax.vmap(affine_warp, in_axes=(0, 0, None, None))(
-            stacked, thetas, "nearest", 0.0)
+        if impl == "shear":
+            from ..ops.warp import affine_warp_shear_batch
+            out = affine_warp_shear_batch(stacked, thetas)
+        else:
+            out = jax.vmap(affine_warp, in_axes=(0, 0, None, None))(
+                stacked, thetas, "nearest", 0.0)
         im_a = out[..., 0]
         gt_a = out[..., 1].astype(gt.dtype)
     else:

@@ -86,3 +86,111 @@ def affine_warp(img: jnp.ndarray, theta: jnp.ndarray, method: str = "bilinear",
 
 # batched over (image, theta)
 affine_warp_batch = jax.vmap(affine_warp, in_axes=(0, 0, None, None))
+
+
+# ---------------------------------------------------------------------------
+# LDU shear-decomposed warp: the lane-efficient TPU path
+# ---------------------------------------------------------------------------
+# The single-gather warp above costs one per-pixel XLA gather with a tiny
+# (C≤2) trailing dim — each gathered element uses 2 of 128 lanes, so it runs
+# ~100x off memory speed-of-light (measured ~0.8 ms/image at 256²; see
+# BASELINE.md). Decomposing the affine as M = L·D·U turns the warp into three
+# lane-friendly passes, none of which scatter or per-pixel gather:
+#
+#   L (horizontal shear + translation): per-row contiguous (1,W,C) dynamic
+#       slices from an x-padded image — a gather of whole rows;
+#   D (per-axis scale, incl. flips/zoom): two one-hot batched matmuls (MXU);
+#   U (vertical shear): the L pass on the transposed image.
+#
+# Each pass resamples with nearest rounding, so the composite can displace a
+# pixel by ≤ ~1.5 px vs the exact nearest warp — immaterial for random
+# augmentation (and self-consistent for the mean-teacher replay, which reuses
+# the same thetas through the same code path). Valid for |m01/m00| ≤ 1 and
+# |translation| ≤ H/4, which covers the PILaugment distribution
+# (rotation ≤ 45°, crop ≥ 0.85 → |tan| ≤ 1, offsets ≤ 0.11·H).
+
+
+def _ldu(theta: jnp.ndarray):
+    """theta (2,3) → (l, d0, d1, u, t0, t1) with M = [[1,0],[l,1]] @
+    diag(d0,d1) @ [[1,u],[0,1]]."""
+    m00, m01, t0 = theta[0, 0], theta[0, 1], theta[0, 2]
+    m10, m11, t1 = theta[1, 0], theta[1, 1], theta[1, 2]
+    u = m01 / m00
+    l = m10 / m00
+    d1 = m11 - m10 * m01 / m00
+    return l, m00, d1, u, t0, t1
+
+
+def _iota1(n: int) -> jnp.ndarray:
+    return jax.lax.broadcasted_iota(jnp.float32, (n, 1), 0)[:, 0]
+
+
+def _scale_matrix(n_out: int, n_in: int, scale: jnp.ndarray) -> jnp.ndarray:
+    """(n_out, n_in) one-hot nearest-resample matrix between centered axes:
+    out[v] = in[round(scale·(v - c_out) + c_in)] (zero row → fill 0).
+    Negative scale = flip."""
+    src = jnp.round(scale * (_iota1(n_out) - (n_out - 1) / 2.0)
+                    + (n_in - 1) / 2.0).astype(jnp.int32)
+    valid = (src >= 0) & (src < n_in)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n_out, n_in), 1)
+    return ((cols == src[:, None]) & valid[:, None]).astype(jnp.float32)
+
+
+def affine_warp_shear(img: jnp.ndarray, theta: jnp.ndarray,
+                      fill: float = 0.0) -> jnp.ndarray:
+    """Nearest-neighbor affine warp of one (H,W,C) image via L·D·U shears.
+
+    Same coordinate convention as :func:`affine_warp` (theta maps centered
+    output coords to centered input coords), restricted to fill=0,
+    |m01/m00| ≤ 1, |m10/m00| ≤ 1 and |translation| ≤ H/8 — which covers the
+    PILaugment distribution (|rotation| ≤ 45°, crop ≥ 0.85).
+
+    Stages (each nearest-rounded, so the composite may displace a pixel by
+    ≤ ~1.5 px vs the exact warp — immaterial for random augmentation):
+      L  (h,w) → (2h, 3w/2): per-row contiguous dynamic slices (shear+shift);
+      D  → (2h, w): two one-hot matmuls (axis scales incl. flips) on the MXU;
+      U  (2h, w) → (h, w): per-column slices on the transpose (shear).
+    """
+    h, w, c = img.shape
+    assert fill == 0.0, "shear warp supports fill=0 only (one-hot zero rows)"
+    l, d0, d1, u, t0, t1 = _ldu(theta)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    h1, w1 = 2 * h, (3 * w) // 2
+    c1y, c1x = (h1 - 1) / 2.0, (w1 - 1) / 2.0
+
+    # ---- L: out[v, x] = img[v_c + t0 + cy, x_c + l·v_c + t1 + cx] ---------
+    py, px = h // 2 + h // 8, w
+    padded = jnp.pad(img, ((py, py), (px, px), (0, 0)))
+    v_c = _iota1(h1) - c1y
+    y_idx = jnp.round(v_c + t0 + cy).astype(jnp.int32) + py
+    # rows whose x-window would exceed the pad are entirely out-of-image
+    # (|l·v_c| > w/2 + margin ⇒ |y_src| > h/2), so clamping is lossless
+    x0 = jnp.clip(jnp.round(l * v_c + t1 + cx - c1x).astype(jnp.int32) + px,
+                  0, w + 2 * px - w1)
+    y_idx = jnp.clip(y_idx, 0, h + 2 * py - 1)
+
+    def take_row(y, x):
+        return jax.lax.dynamic_slice(padded, (y, x, 0), (1, w1, c))[0]
+
+    stage = jax.vmap(take_row)(y_idx, x0)                       # (h1, w1, c)
+
+    # ---- D: rows scale d0 (h1→h1), cols scale d1 (w1→w) — MXU matmuls ----
+    ry = _scale_matrix(h1, h1, d0).astype(stage.dtype)
+    cm = _scale_matrix(w, w1, d1).astype(stage.dtype)
+    stage = jnp.einsum("vy,yxc->vxc", ry, stage)                # (h1, w1, c)
+    stage = jnp.einsum("ux,yxc->yuc", cm, stage)                # (h1, w, c)
+
+    # ---- U: out[y, x] = stage[y_c + u·x_c + c1y, x] -----------------------
+    stage_t = jnp.swapaxes(stage, 0, 1)                         # (w, h1, c)
+    x_cs = _iota1(w) - cx
+    y0 = jnp.clip(jnp.round(u * x_cs + (c1y - cy)).astype(jnp.int32),
+                  0, h1 - h)
+
+    def take_col(row, y):
+        return jax.lax.dynamic_slice(row, (y, 0), (h, c))
+
+    out_t = jax.vmap(take_col)(stage_t, y0)                     # (w, h, c)
+    return jnp.swapaxes(out_t, 0, 1)
+
+
+affine_warp_shear_batch = jax.vmap(affine_warp_shear, in_axes=(0, 0))

@@ -1,4 +1,5 @@
 from .mesh import (  # noqa: F401
+    choose_parallel_mesh,
     make_mesh,
     place_batches,
     place_replicated,

@@ -34,6 +34,21 @@ def make_mesh(n_devices: Optional[int] = None, n_model: int = 1) -> Mesh:
     return Mesh(arr, ("model", "data"))
 
 
+def choose_parallel_mesh(K: int, n_devices: Optional[int] = None) -> Optional[Mesh]:
+    """Auto-chooser: pick a (model, data) mesh for K co-trained models.
+
+    model axis = gcd(K, n) so every group owns K/gcd models and the rest of
+    the chips do DP; n_model == 1 falls back to pure GSPMD DP (the vmapped
+    step partitioned by batch), n_model > 1 routes through the shard_map
+    path. Returns None on a single device (no mesh needed).
+    """
+    import math
+    n = n_devices or len(jax.devices())
+    if n <= 1:
+        return None
+    return make_mesh(n, n_model=math.gcd(K, n))
+
+
 def place_replicated(mesh: Mesh, tree):
     """Replicate a pytree over the whole mesh."""
     sh = NamedSharding(mesh, P())

@@ -3,26 +3,26 @@
 The vmapped K-model step (dct_tpu.train.steps) lowers stacked convs to
 ``feature_group_count=K`` grouped convs, which GSPMD cannot partition along
 the model axis. This module expresses the same semantics with ``shard_map``
-over a ``('model','data')`` mesh so K co-trained models genuinely parallelize:
+over a ``('model','data')`` mesh so K co-trained models genuinely parallelize.
 
-* each model shard owns K/n_model models' params/opt state and runs its own
-  supervised forwards (zero cross-model traffic);
+General shape: K models over ``n_model`` groups, each group owning
+``K_local = K / n_model`` models (a local vmapped stack) — n_model=K gives one
+model per group, n_model<K hybridizes the vmap and shard paths. Per shard:
+
+* supervised forwards run on the local model stack (zero cross-model traffic);
 * the JSD consistency term all-gathers the K unlabeled probability maps over
-  the ``model`` axis (ICI); its gradient scatters back via the all_gather
-  transpose;
-* the FGSM diversity term: EVERY shard generates an adversarial batch with
-  its local model (equal work in parallel — same wall-clock as one shard
-  doing it), the attacked model's adv image + clean probs are all-gathered,
-  and only the updating model's owner contributes the KL term;
+  the ``model`` axis (ICI) and reshapes (n_model, K_local, ...) → (K, ...);
+  its gradient scatters back via the all_gather transpose;
+* the FGSM diversity term: every shard generates an adversarial batch with its
+  local slot ``b % K_local`` (equal work in parallel), the attacked model's
+  owner group ``b // K_local`` supplies the real adv image + clean probs via
+  all_gather, and only model ``a``'s owner contributes (and backprops) the KL;
 * gradients are ``pmean``-ed over ``data`` (classic DP), never over ``model``
   (each model's params live on one group).
 
 BN note: inside shard_map each model's BatchNorm reduces over its LOCAL data
 shard (per-device BN, the common DP practice); the GSPMD DP path reduces over
 the global batch. Semantics equal at data=1.
-
-Currently specialized to K_local = K/n_model = 1 (e.g. 2 models on a (2, N)
-mesh) — the deployment shape that matters for 2-model co-training.
 """
 from __future__ import annotations
 
@@ -46,30 +46,53 @@ def make_shard_cotrain_epoch(seg: Segmentator, mesh: Mesh, K: int, C: int,
                              eps_fgsm: float = 0.03,
                              state_template=None) -> Callable:
     n_model = mesh.shape["model"]
-    assert K == n_model, "shard_map path currently requires one model per group"
+    assert K % n_model == 0, f"K={K} not divisible into {n_model} model groups"
+    K_local = K // n_model
 
     def _is_model_leaf(x) -> bool:
         return hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == K
 
     if state_template is None:
-        # default template shape: params/batch_stats model-stacked, optax
-        # scalar counts replicated — computed lazily on first call instead
         raise ValueError("pass state_template= (the stacked state) so per-leaf "
                          "shardings can be derived (optax step counts are "
                          "scalars and must replicate)")
     state_specs = jax.tree_util.tree_map(
         lambda x: P("model") if _is_model_leaf(x) else P(), state_template)
-    is_model_leaf_tree = jax.tree_util.tree_map(_is_model_leaf, state_template)
+
+    vapply_own = jax.vmap(seg.apply_train, in_axes=(0, 0, 0))
+    vapply_shared = jax.vmap(seg.apply_train, in_axes=(0, 0, None))
+
+    def take_model(tree, i):
+        return jax.tree_util.tree_map(lambda x: jnp.take(x, i, axis=0), tree)
+
+    def put_model(tree, sub, i):
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.lax.dynamic_update_index_in_dim(
+                x, s.astype(x.dtype), i, 0), tree, sub)
+
+    def put_model_if(tree, sub, i, cond):
+        """put_model gated on a traced predicate (SPMD-uniform)."""
+        updated = put_model(tree, sub, i)
+        return jax.tree_util.tree_map(
+            lambda n, o: jnp.where(cond, n, o), updated, tree)
 
     def local_step(carry, xs, img_u8, gt_u8, lr, lam_cot, lam_adv):
-        """Runs per (model, data) shard. carry holds ONE model's state
-        (no leading K axis)."""
-        idx_lab_l, idx_unlab_l, pair, k = xs
+        """Runs per (model, data) shard. carry holds K_local models' state
+        (leading K_local axis on every stacked leaf)."""
+        idx_lab_l, idx_unlab_l, pair, k = xs          # idx_lab_l (K_local, B_l)
         my = jax.lax.axis_index("model")
 
-        img, gt = normalize_gather(img_u8, gt_u8, idx_lab_l)
-        if augment:
-            img, gt = augment_batch(img, gt, jax.random.fold_in(k, my))
+        lab = []
+        for j in range(K_local):
+            im, g = normalize_gather(img_u8, gt_u8, idx_lab_l[j])
+            if augment:
+                # augmentation key keyed on the GLOBAL model id, matching the
+                # vmap path's per-model streams
+                im, g = augment_batch(im, g,
+                                      jax.random.fold_in(k, my * K_local + j))
+            lab.append((im, g))
+        lab_img = jnp.stack([x[0] for x in lab])      # (K_local, B_l, H, W, 1)
+        lab_gt = jnp.stack([x[1] for x in lab])       # (K_local, B_l, H, W)
         unlab_img, _ = normalize_gather(img_u8, gt_u8, idx_unlab_l)
         if augment:
             unlab_img, _ = augment_batch(
@@ -78,55 +101,66 @@ def make_shard_cotrain_epoch(seg: Segmentator, mesh: Mesh, K: int, C: int,
 
         def total_loss(params):
             bs = carry["batch_stats"]
-            logits, bs = seg.apply_train(params, bs, img)
-            supervised = sup_loss(logits, gt)          # this model's term
+            lab_logits, bs = vapply_own(params, bs, lab_img)
+            sup_each = jax.vmap(sup_loss)(lab_logits, lab_gt)   # (K_local,)
+            supervised = jnp.sum(sup_each)
 
-            jsd_loss = jnp.zeros((), logits.dtype)
+            jsd_loss = jnp.zeros((), lab_logits.dtype)
             if train_jsd:
-                u_logits, bs = seg.apply_train(params, bs, unlab_img)
-                my_probs = jax.nn.softmax(u_logits, axis=-1)
-                all_probs = jax.lax.all_gather(my_probs, "model")  # (K,B,H,W,C)
+                u_logits, bs = vapply_shared(params, bs, unlab_img)
+                my_probs = jax.nn.softmax(u_logits, axis=-1)    # (K_local,...)
+                all_probs = jax.lax.all_gather(my_probs, "model")
+                all_probs = all_probs.reshape((K,) + all_probs.shape[2:])
                 jsd_loss = jnp.mean(jsd_2d(all_probs))
                 jsd_loss = jax.lax.pmean(jsd_loss, "data")
 
-            adv_loss = jnp.zeros((), logits.dtype)
+            adv_loss = jnp.zeros((), lab_logits.dtype)
             if train_adv:
                 a, b = pair[0], pair[1]
-                # every shard attacks with ITS model (parallel, equal work)
-                img_cat = jnp.concatenate([img, unlab_img], axis=0)
+                a_own, a_loc = a // K_local, a % K_local
+                b_own, b_loc = b // K_local, b % K_local
+                # every shard attacks with its local slot b_loc (parallel,
+                # equal work); only shard b_own's result is the real one
+                params_b = jax.lax.stop_gradient(take_model(params, b_loc))
+                bs_b = jax.lax.stop_gradient(take_model(bs, b_loc))
+                img_b = jnp.take(lab_img, b_loc, axis=0)
+                gt_b = jnp.take(lab_gt, b_loc, axis=0)
+                img_cat = jnp.concatenate([img_b, unlab_img], axis=0)
 
                 def gen_ce(x):
-                    lg, gbs = seg.apply_train(jax.lax.stop_gradient(params),
-                                              jax.lax.stop_gradient(bs), x)
-                    pseudo = jnp.argmax(lg[gt.shape[0]:], axis=-1)
+                    lg, gbs = seg.apply_train(params_b, bs_b, x)
+                    pseudo = jnp.argmax(lg[gt_b.shape[0]:], axis=-1)
                     gt_full = jnp.concatenate(
-                        [gt, jax.lax.stop_gradient(pseudo)], axis=0)
+                        [gt_b, jax.lax.stop_gradient(pseudo)], axis=0)
                     return sup_loss(lg, gt_full), (lg, gbs)
 
                 g, (gen_logits, gen_bs) = jax.grad(gen_ce, has_aux=True)(img_cat)
-                # the attacked model's BN stats advance through the
-                # generation forward (reference train-mode attack semantics)
-                bs = jax.tree_util.tree_map(
-                    lambda old, new: jnp.where(my == b, new, old), bs, gen_bs)
+                # the attacked model's BN stats advance through the generation
+                # forward (reference train-mode attack semantics) — only on
+                # its owner shard, at its local slot
+                bs = put_model_if(bs, gen_bs, b_loc, my == b_own)
                 my_adv = jax.lax.stop_gradient(img_cat + eps_fgsm * jnp.sign(g))
                 my_real = jax.lax.stop_gradient(
                     jax.nn.softmax(gen_logits, axis=-1))
-                adv_all = jax.lax.all_gather(my_adv, "model")    # (K,B2,H,W,1)
-                real_all = jax.lax.all_gather(my_real, "model")  # (K,B2,H,W,C)
-                adv_img = jnp.take(adv_all, b, axis=0)
-                real_probs = jnp.take(real_all, b, axis=0)
-                # only model a's owner pays/backprops the KL term
-                adv_logits, bs2 = seg.apply_train(params, bs, adv_img)
+                adv_img = jnp.take(jax.lax.all_gather(my_adv, "model"),
+                                   b_own, axis=0)
+                real_probs = jnp.take(jax.lax.all_gather(my_real, "model"),
+                                      b_own, axis=0)
+                # every shard runs the adv forward with its slot a_loc; only
+                # model a's owner pays/backprops the KL term
+                params_a = take_model(params, a_loc)
+                bs_a = take_model(bs, a_loc)
+                adv_logits, bs2 = seg.apply_train(params_a, bs_a, adv_img)
                 kl = jnp.mean(kl_div_2d(jax.nn.softmax(adv_logits, -1),
                                         real_probs))
-                is_a = (my == a).astype(kl.dtype)
-                adv_loss = jax.lax.pmean(kl * is_a, "data")
-                bs = jax.tree_util.tree_map(
-                    lambda old, new: jnp.where(my == a, new, old), bs, bs2)
+                adv_loss = jax.lax.pmean(kl * (my == a_own).astype(kl.dtype),
+                                         "data")
+                bs = put_model_if(bs, bs2, a_loc, my == a_own)
 
             total = supervised + lam_cot * jsd_loss + lam_adv * adv_loss
-            return total, {"sup": supervised, "jsd": jsd_loss, "adv": adv_loss,
-                           "batch_stats": bs, "lab_logits": logits}
+            return total, {"sup_each": sup_each, "jsd": jsd_loss,
+                           "adv": adv_loss, "batch_stats": bs,
+                           "lab_logits": lab_logits}
 
         (_, aux), grads = jax.value_and_grad(total_loss, has_aux=True)(
             carry["params"])
@@ -140,39 +174,33 @@ def make_shard_cotrain_epoch(seg: Segmentator, mesh: Mesh, K: int, C: int,
         new_carry = {"params": new_params, "batch_stats": bs,
                      "opt_state": new_opt}
         from ..train.steps import _dice_rows
-        metrics = {"sup_loss": jax.lax.pmean(aux["sup"], "data"),
-                   "jsd_loss": aux["jsd"], "adv_loss": aux["adv"],
-                   "lab_dice": _dice_rows(aux["lab_logits"], gt, C)}
+        lab_dice = jax.vmap(_dice_rows, in_axes=(0, 0, None))(
+            aux["lab_logits"], lab_gt, C)           # (K_local, B_l, C)
+        # metrics carry a K_local model axis so out_specs can concatenate it
+        # to K; jsd is identical across shards, adv is scaled so the host's
+        # sum over the K axis reconstructs the per-iteration total
+        metrics = {"sup_loss": jax.lax.pmean(aux["sup_each"], "data"),
+                   "jsd_loss": jnp.broadcast_to(aux["jsd"], (K_local,)),
+                   "adv_loss": jnp.broadcast_to(aux["adv"] / K_local, (K_local,)),
+                   "lab_dice": jax.lax.pmean(lab_dice, "data")}
         return new_carry, metrics
 
     def shard_body(state_l, img_u8, gt_u8, idx_lab_l, idx_unlab_l, pairs, keys,
                    lr, lam_cot, lam_adv):
-        idx_lab_l = idx_lab_l[:, 0]      # (T, 1, B_local) → (T, B_local)
-
         def scan_step(c, xs):
             return local_step(c, xs, img_u8, gt_u8, lr, lam_cot, lam_adv)
         return jax.lax.scan(scan_step, state_l,
                             (idx_lab_l, idx_unlab_l, pairs, keys))
 
-    # state: model-stacked leaves carry a leading K axis sharded over 'model'
-    # (each shard sees a size-1 leading dim → squeeze/restore around the
-    # body); scalar leaves (optax step counts) replicate.
-    def shard_body_sq(state_l, *args):
-        state_sq = jax.tree_util.tree_map(
-            lambda m, x: x[0] if m else x, is_model_leaf_tree, state_l)
-        new_state, metrics = shard_body(state_sq, *args)
-        new_state = jax.tree_util.tree_map(
-            lambda m, x: x[None] if m else x, is_model_leaf_tree, new_state)
-        return (new_state,
-                jax.tree_util.tree_map(lambda x: x[None], metrics))
-
+    metric_specs = {"sup_loss": P(None, "model"), "jsd_loss": P(None, "model"),
+                    "adv_loss": P(None, "model"), "lab_dice": P(None, "model")}
     sharded = jax.shard_map(
-        shard_body_sq, mesh=mesh,
+        shard_body, mesh=mesh,
         in_specs=(state_specs, P(), P(),
                   P(None, "model", "data"),   # idx_lab (T,K,B)
                   P(None, "data"),            # idx_unlab (T,Bu)
                   P(), P(), P(), P(), P()),
-        out_specs=(state_specs, P("model")),
+        out_specs=(state_specs, metric_specs),
         check_vma=False)
 
     @partial(jax.jit, donate_argnums=(0,))

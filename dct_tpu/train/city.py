@@ -55,6 +55,18 @@ def make_city_eval_step(seg: Segmentator, C: int) -> Callable:
     return step
 
 
+def make_city_pred_step(seg: Segmentator) -> Callable:
+    """jitted ``step(params, bs, img_u8, gt_u8, idx (B,)) -> (B,H,W) argmax
+    class maps`` — for the per-10-epoch prediction dumps."""
+
+    @jax.jit
+    def step(params, batch_stats, img_u8, gt_u8, idx):
+        img, _ = normalize_gather(img_u8, gt_u8, idx)
+        return jnp.argmax(seg.apply_eval(params, batch_stats, img), axis=-1)
+
+    return step
+
+
 def iou_from_confusion(hist: np.ndarray) -> Dict[str, np.ndarray]:
     """(ref:metrics/iou.py:96-113 value())"""
     hist = hist.astype(np.float64)
@@ -216,6 +228,7 @@ class CoTrainerCity:
         self.val_batcher = EpochBatcher(len(val_dataset), batch_size,
                                         shuffle=False, drop_last=False)
         self.eval_step = make_city_eval_step(self.seg, self.C)
+        self.pred_step = make_city_pred_step(self.seg)
 
         import jax.numpy as jnp2
         offs, imgs, gts = [], [], []
@@ -249,8 +262,9 @@ class CoTrainerCity:
 
     def start_training(self, train_jsd: bool = False, train_adv: bool = False,
                        save_val: bool = False, **_ignored) -> pd.DataFrame:
+        from ..utils.logging import resume_records
         epoch_fn = self._epoch_fn(train_jsd, train_adv)
-        records = []
+        records = resume_records(self.save_dir / self.metricname, self.start_epoch)
         for epoch in range(self.start_epoch, self.max_epoch):
             t0 = time.time()
             T = self.iters_per_epoch
@@ -274,20 +288,24 @@ class CoTrainerCity:
                 self.seg.lr(epoch), self.cot_scheduler.value,
                 self.adv_scheduler.value)
             val = self._eval_epoch()
+            if save_val and epoch % 10 == 0:
+                # per-10-epoch prediction dumps (ref:cotraining_city.py:150)
+                self._save_val_predictions(epoch)
             for s in self.segmentators:
                 s.scheduler_step()
             self.cot_scheduler.step()
             self.adv_scheduler.step()
 
-            row = {**{f"val_mIoU_{s}": val[s]["Mean_IoU"] for s in range(self.K)},
+            row = {"epoch": epoch,
+                   **{f"val_mIoU_{s}": val[s]["Mean_IoU"] for s in range(self.K)},
                    **{f"val_acc_{s}": val[s]["Overall_Acc"] for s in range(self.K)},
                    **{f"sup_loss_{s}": float(np.asarray(m["sup_loss"]).mean(0)[s])
                       for s in range(self.K)},
                    "jsd_loss": float(np.mean(np.asarray(m["jsd_loss"]))),
                    "adv_loss": float(np.mean(np.asarray(m["adv_loss"])))}
             records.append(row)
-            pd.DataFrame(records).to_csv(self.save_dir / self.metricname,
-                                         float_format="%.4f", index_label="epoch")
+            pd.DataFrame(records).set_index("epoch").to_csv(
+                self.save_dir / self.metricname, float_format="%.4f")
             current = np.array([val[s]["Mean_IoU"] for s in range(self.K)])
             self.checkpoint(current, epoch)
             print(f">> city epoch {epoch}: mIoU "
@@ -309,6 +327,22 @@ class CoTrainerCity:
                     self.val_dev.gt, idx.astype(np.int32)))
             out.append(iou_from_confusion(hist))
         return out
+
+    def _save_val_predictions(self, epoch: int) -> None:
+        """Dump every model's val argmax maps as PNGs under
+        save_dir/iter{epoch}/eval/{model}/ (ref:utils/utils.py:238-250)."""
+        from ..utils.general import save_images
+        states = unstack_states({"params": self.stacked_state["params"],
+                                 "batch_stats": self.stacked_state["batch_stats"]},
+                                self.K)
+        for s, st in enumerate(states):
+            for idx in self.val_batcher.epoch(np.random.RandomState(0)):
+                preds = self.pred_step(st["params"], st["batch_stats"],
+                                       self.val_dev.img, self.val_dev.gt,
+                                       idx.astype(np.int32))
+                names = [self.val_dev.filenames[i] for i in idx]
+                save_images(preds, names, self.save_dir, "eval", epoch,
+                            seg_num=str(s))
 
     def checkpoint(self, metric: np.ndarray, epoch: int) -> None:
         states = unstack_states({"params": self.stacked_state["params"],

@@ -30,7 +30,8 @@ from ..data.pipeline import DeviceDataset, InfiniteBatcher, PatientBuckets
 from ..models.segmentator import Segmentator, stack_states, unstack_states
 from ..schedules import get_weight_scheduler
 from ..utils.logging import RateMeter, ScalarWriter
-from .steps import make_cotrain_epoch, make_eval_all_step, make_eval_patient_step
+from .steps import (make_cotrain_epoch, make_eval_all_models_step,
+                    make_eval_all_step, make_eval_patient_step)
 from .trainer import DEFAULT_GRP_REGEX
 
 ITERS_PER_EPOCH = 300  # ref:cotraining_totalloss.py:191
@@ -109,6 +110,7 @@ class CoTrainer:
         self.val_buckets = PatientBuckets(val_dataset, grp_regex)
         self.eval_step = make_eval_patient_step(self.seg, self.C)
         self.eval_all = make_eval_all_step(self.seg, self.C)
+        self.eval_all_models = make_eval_all_models_step(self.seg, self.C)
         self._val_idx = jnp.asarray(self.val_buckets.indices)
         self._val_mask = jnp.asarray(self.val_buckets.mask)
 
@@ -122,12 +124,22 @@ class CoTrainer:
         self.stacked_state = {"params": stacked["params"],
                               "batch_stats": stacked["batch_stats"],
                               "opt_state": self.seg.tx.init(stacked["params"])}
-        # optional model-parallel execution: a ('model','data') mesh routes
-        # the epoch through the shard_map step (one model per model group)
+        # optional multi-chip execution. model axis > 1 routes the epoch
+        # through the shard_map step (each group owns K/n_model models);
+        # model axis == 1 is pure GSPMD DP: params replicated, batch indices
+        # sharded over 'data', the partitioner inserts the gradient psum.
         self.mesh = mesh
+        self._dp_only = mesh is not None and mesh.shape.get("model", 1) == 1
         if mesh is not None and mesh.shape.get("model", 1) > 1:
-            assert mesh.shape["model"] == self.K, \
-                f"mesh model axis {mesh.shape['model']} != K={self.K}"
+            assert self.K % mesh.shape["model"] == 0, \
+                f"K={self.K} not divisible by mesh model axis {mesh.shape['model']}"
+        if self._dp_only:
+            assert self.batch_size % mesh.shape["data"] == 0 and \
+                self.unlab_batch_size % mesh.shape["data"] == 0, \
+                (self.batch_size, self.unlab_batch_size, dict(mesh.shape))
+            from ..parallel.mesh import place_stacked_state
+            self.stacked_state = place_stacked_state(mesh, self.stacked_state,
+                                                     self.K)
         self._epoch_fns: Dict = {}
 
         if checkpoint is not None:
@@ -172,6 +184,10 @@ class CoTrainer:
         self._lab_offsets = offs
         self._lab_img_cat = jnp.concatenate(imgs, axis=0)
         self._lab_gt_cat = jnp.concatenate(gts, axis=0)
+        if self._dp_only:
+            from ..parallel.mesh import place_replicated
+            self._lab_img_cat = place_replicated(self.mesh, self._lab_img_cat)
+            self._lab_gt_cat = place_replicated(self.mesh, self._lab_gt_cat)
 
     def start_training(self, train_jsd: bool = False, train_adv: bool = False,
                        save_train: bool = False, save_val: bool = False,
@@ -180,7 +196,8 @@ class CoTrainer:
         self._concat_lab_arrays()
         epoch_fn = self._epoch_fn(train_jsd, train_adv,
                                   augment_labeled_data, augment_unlabeled_data)
-        records = []
+        from ..utils.logging import resume_records
+        records = resume_records(self.save_dir / self.metricname, self.start_epoch)
         for epoch in range(self.start_epoch, self.max_epoch):
             t0 = time.time()
             train_m = self._train_epoch(epoch, epoch_fn, train_jsd, train_adv)
@@ -188,7 +205,7 @@ class CoTrainer:
             self._scheduler_step()
             elapsed = time.time() - t0
 
-            row = {}
+            row = {"epoch": epoch}
             for s in range(self.K):
                 for i in self.axises:
                     row[f"tra_dice_{s}_{i}"] = train_m["lab_dice"][s][i]
@@ -200,12 +217,15 @@ class CoTrainer:
             row["images_per_sec"] = train_m["n_images"] / max(train_m["train_time"], 1e-9)
             records.append(row)
 
-            df = pd.DataFrame(records)
+            df = pd.DataFrame(records).set_index("epoch")
+            # full history (all models + jsd/adv/perf) — also what a resumed
+            # run reloads so the CSVs keep absolute epoch numbering
+            df.to_csv(self.save_dir / self.metricname, float_format="%.4f")
             for s in range(self.K):
                 cols = [c for c in df.columns if c.endswith(tuple(
                     f"_{s}_{i}" for i in self.axises)) or c == f"sup_loss_{s}"]
                 df[cols].to_csv(self.save_dir / self.metricname.replace(
-                    ".csv", f"_{s}.csv"), float_format="%.4f", index_label="epoch")
+                    ".csv", f"_{s}.csv"), float_format="%.4f")
             np.save(self.save_dir / "val_batch_dice.npy",
                     df.filter(like="val_batch_dice").values)
             np.save(self.save_dir / "val_dice.npy",
@@ -249,6 +269,10 @@ class CoTrainer:
         lam_adv = self.adv_scheduler.value
 
         kind, fn = epoch_fn
+        if self._dp_only:
+            from ..parallel.mesh import place_batches
+            idx_lab, idx_unlab, pairs = place_batches(self.mesh, idx_lab,
+                                                      idx_unlab, pairs)
         t0 = time.time()
         self.stacked_state, metrics = fn(
             self.stacked_state, self._lab_img_cat, self._lab_gt_cat,
@@ -256,12 +280,14 @@ class CoTrainer:
         train_time = time.time() - t0
         n_images = idx_lab.size + (idx_unlab.size if (train_jsd or train_adv) else 0)
         if kind == "shard":
-            # shard metrics lead with the model axis: (K,T,...)
-            lab_dice = np.asarray(metrics["lab_dice"])          # (K,T,B,C)
-            return {"lab_dice": lab_dice.reshape(self.K, -1, self.C).mean(1),
-                    "sup_loss": np.asarray(metrics["sup_loss"]).mean(1),
+            # shard metrics are (T,K,...); adv slots are scaled so the sum
+            # over the model axis reconstructs the per-iteration total
+            lab_dice = np.asarray(metrics["lab_dice"])          # (T,K,B,C)
+            return {"lab_dice": lab_dice.transpose(1, 0, 2, 3).reshape(
+                        self.K, -1, self.C).mean(1),
+                    "sup_loss": np.asarray(metrics["sup_loss"]).mean(0),
                     "jsd_loss": float(np.mean(np.asarray(metrics["jsd_loss"]))),
-                    "adv_loss": float(np.sum(np.asarray(metrics["adv_loss"]), 0).mean()),
+                    "adv_loss": float(np.sum(np.asarray(metrics["adv_loss"]), 1).mean()),
                     "n_images": n_images, "train_time": train_time}
         lab_dice = np.asarray(metrics["lab_dice"])              # (T,K,B,C)
         return {"lab_dice": lab_dice.transpose(1, 0, 2, 3).reshape(
@@ -278,16 +304,29 @@ class CoTrainer:
                               self.K)
 
     def _eval_epoch(self, epoch: int, save: bool = False) -> Dict:
-        states = self._unstack_model_states()
-        dice2d = np.zeros((self.K, self.C))
-        dice3d = np.zeros((self.K, self.C))
-        for s, st in enumerate(states):
-            out = self.eval_all(st["params"], st["batch_stats"],
-                                self.val_dev.img, self.val_dev.gt,
-                                self._val_idx, self._val_mask)
-            d2 = np.asarray(out["dice2d"])          # (P,L,C)
-            dice2d[s] = d2[self.val_buckets.mask].mean(0)
-            dice3d[s] = np.asarray(out["dice3d"]).mean(0)
+        if self.mesh is not None and self.mesh.shape.get("model", 1) > 1:
+            # model-sharded state: the vmapped eval lowers to grouped convs
+            # GSPMD can't partition along 'model' — evaluate per model on
+            # gathered params instead
+            dice2d = np.zeros((self.K, self.C))
+            dice3d = np.zeros((self.K, self.C))
+            for s, st in enumerate(self._unstack_model_states()):
+                out = self.eval_all(st["params"], st["batch_stats"],
+                                    self.val_dev.img, self.val_dev.gt,
+                                    self._val_idx, self._val_mask)
+                d2 = np.asarray(out["dice2d"])
+                dice2d[s] = d2[self.val_buckets.mask].mean(0)
+                dice3d[s] = np.asarray(out["dice3d"]).mean(0)
+            return {"dice2d": dice2d, "dice3d": dice3d}
+        # all K models × all patient buckets in one jit call (the gather and
+        # one-hot gt are shared across the vmapped model axis)
+        out = self.eval_all_models(
+            self.stacked_state["params"], self.stacked_state["batch_stats"],
+            self.val_dev.img, self.val_dev.gt, self._val_idx, self._val_mask)
+        d2 = np.asarray(out["dice2d"])              # (P,K,L,C)
+        mask = self.val_buckets.mask                # (P,L) bool
+        dice2d = np.stack([d2[:, s][mask].mean(0) for s in range(self.K)])
+        dice3d = np.asarray(out["dice3d"]).mean(0)  # (P,K,C) → (K,C)
         return {"dice2d": dice2d, "dice3d": dice3d}
 
     # ------------------------------------------------------------------

@@ -176,7 +176,8 @@ class MeanTeacherTrainer:
             self._load_checkpoint(checkpoint)
 
     def start_training(self) -> pd.DataFrame:
-        records = []
+        from ..utils.logging import resume_records
+        records = resume_records(self.save_dir / self.metricname, self.start_epoch)
         for epoch in range(self.start_epoch, self.max_epoch):
             t0 = time.time()
             T = self.iters_per_epoch
@@ -192,7 +193,8 @@ class MeanTeacherTrainer:
             self.student.scheduler_step()
             self.con_scheduler.step()
 
-            row = {"tra_student_loss": float(np.mean(np.asarray(m["sup_loss"]))),
+            row = {"epoch": epoch,
+                   "tra_student_loss": float(np.mean(np.asarray(m["sup_loss"]))),
                    "tra_con_loss": float(np.mean(np.asarray(m["con_loss"]))),
                    **{f"tra_student_dice_{i}": np.asarray(m["student_dice"]).reshape(
                        -1, self.C).mean(0)[i] for i in self.axises},
@@ -201,8 +203,8 @@ class MeanTeacherTrainer:
                    **{f"val_teacher_2d_dice_{i}": val["dice2d"][i] for i in self.axises},
                    **{f"val_teacher_3d_dice_{i}": val["dice3d"][i] for i in self.axises}}
             records.append(row)
-            pd.DataFrame(records).to_csv(self.save_dir / self.metricname,
-                                         float_format="%.4f", index_label="epoch")
+            pd.DataFrame(records).set_index("epoch").to_csv(
+                self.save_dir / self.metricname, float_format="%.4f")
             save_criterion = float(np.mean([val["dice2d"][i] for i in self.axises]))
             self.save_checkpoint(save_criterion, epoch)
             print(f">> MT epoch {epoch}: teacher val 2D {save_criterion:.4f} "

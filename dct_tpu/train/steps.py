@@ -155,6 +155,42 @@ def make_eval_all_step(seg: Segmentator, C: int, loss_weight=None) -> Callable:
     return step
 
 
+def make_eval_all_models_step(seg: Segmentator, C: int, loss_weight=None) -> Callable:
+    """All K models × all patients in ONE jit call: ``step(stacked_params,
+    stacked_batch_stats, img_u8, gt_u8, indices (P,L), masks (P,L))`` →
+    {dice2d (P,K,L,C), dice3d (P,K,C), loss (P,K)}. The patient gather +
+    one-hot gt are computed once and shared by the vmapped model axis — K
+    dispatches and K redundant gathers collapse into one."""
+
+    def one_patient(params, batch_stats, img_u8, gt_u8, idx, mask):
+        img, gt = normalize_gather(img_u8, gt_u8, idx)
+        maskf = mask.astype(img.dtype)
+        gt_oh = class2one_hot(gt, C) * maskf[:, None, None, None]
+        gt_sum = jnp.sum(gt_oh, axis=(0, 1, 2))
+
+        def per_model(p, bs):
+            logits = seg.apply_eval(p, bs, img)
+            loss = _masked_ce(logits, gt, maskf.astype(logits.dtype), loss_weight)
+            pred_oh = probs2one_hot(jax.nn.softmax(logits, axis=-1)) \
+                * maskf[:, None, None, None]
+            dice2d = dice_coef(gt_oh, pred_oh)
+            inter = jnp.sum(gt_oh * pred_oh, axis=(0, 1, 2))
+            sums = gt_sum + jnp.sum(pred_oh, axis=(0, 1, 2))
+            return {"dice2d": dice2d,
+                    "dice3d": (2 * inter + 1e-8) / (sums + 1e-8),
+                    "loss": loss}
+
+        return jax.vmap(per_model)(params, batch_stats)
+
+    @jax.jit
+    def step(params, batch_stats, img_u8, gt_u8, indices, masks):
+        return jax.lax.map(
+            lambda xs: one_patient(params, batch_stats, img_u8, gt_u8, *xs),
+            (indices, masks))
+
+    return step
+
+
 # ---------------------------------------------------------------------------
 # the K-model co-training epoch (the centerpiece)
 # ---------------------------------------------------------------------------

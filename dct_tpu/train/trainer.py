@@ -22,6 +22,7 @@ import pandas as pd
 from .. import ModelMode
 from ..checkpoint import load_checkpoint, save_checkpoint
 from ..config import save_yaml
+from ..utils.logging import resume_records
 from ..data.dataset import MedicalImageDataset
 from ..data.pipeline import DeviceDataset, EpochBatcher, PatientBuckets
 from ..models.segmentator import Segmentator
@@ -83,7 +84,7 @@ class Trainer:
 
     def start_training(self, save_train: bool = False, save_val: bool = False,
                        augment_labeled_data: bool = False) -> pd.DataFrame:
-        records = []
+        records = resume_records(self.save_dir / self.metricname, self.start_epoch)
         for epoch in range(self.start_epoch, self.max_epoch):
             t0 = time.time()
             train_metrics = self._train_epoch(epoch, augment_labeled_data)
@@ -91,7 +92,8 @@ class Trainer:
             self.segmentator.scheduler_step()
             step_time = time.time() - t0
 
-            row = {**{f"train_dice_{i}": train_metrics["dice_per_class"][i]
+            row = {"epoch": epoch,
+                   **{f"train_dice_{i}": train_metrics["dice_per_class"][i]
                       for i in self.axises},
                    **{f"val_dice_{i}": val_metrics["dice2d_per_class"][i]
                       for i in self.axises},
@@ -102,9 +104,8 @@ class Trainer:
                    "images_per_sec": train_metrics["n_images"] / max(
                        train_metrics["train_time"], 1e-9)}
             records.append(row)
-            df = pd.DataFrame(records)
-            df.to_csv(self.save_dir / self.metricname, float_format="%.4f",
-                      index_label="epoch")
+            df = pd.DataFrame(records).set_index("epoch")
+            df.to_csv(self.save_dir / self.metricname, float_format="%.4f")
             np.save(self.save_dir / "val_dice.npy", df.filter(like="val_dice").values)
             np.save(self.save_dir / "train_dice.npy", df.filter(like="train_dice").values)
 

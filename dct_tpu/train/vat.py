@@ -158,7 +158,8 @@ class VatTrainer:
                        augment_unlabeled_data: bool = False,
                        save_train: bool = False, save_val: bool = False
                        ) -> pd.DataFrame:
-        records = []
+        from ..utils.logging import resume_records
+        records = resume_records(self.save_dir / self.metricname, self.start_epoch)
         for epoch in range(self.start_epoch, self.max_epoch):
             t0 = time.time()
             lam = self.adv_scheduler.value
@@ -178,15 +179,16 @@ class VatTrainer:
             self.segmentator.scheduler_step()
             self.adv_scheduler.step()
 
-            row = {"sup_loss": float(np.mean(np.asarray(m["sup_loss"]))),
+            row = {"epoch": epoch,
+                   "sup_loss": float(np.mean(np.asarray(m["sup_loss"]))),
                    "adv_loss": float(np.mean(np.asarray(m["adv_loss"]))),
                    **{f"tra_dice_{i}": np.asarray(m["dice"]).reshape(-1, self.C).mean(0)[i]
                       for i in self.axises},
                    **{f"val_dice_{i}": val["dice2d"][i] for i in self.axises},
                    **{f"val_batch_dice_{i}": val["dice3d"][i] for i in self.axises}}
             records.append(row)
-            pd.DataFrame(records).to_csv(self.save_dir / self.metricname,
-                                         float_format="%.4f", index_label="epoch")
+            pd.DataFrame(records).set_index("epoch").to_csv(
+                self.save_dir / self.metricname, float_format="%.4f")
             current = float(np.mean([val["dice2d"][i] for i in self.axises]))
             self.checkpoint(current, epoch)
             print(f">> VAT epoch {epoch}: val 2D {current:.4f} λ_adv={lam:.4f} "

@@ -85,3 +85,20 @@ def trace_epoch(logdir: Union[str, Path, None]):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def resume_records(csv_path: Union[str, Path], start_epoch: int) -> list:
+    """Rows (list of dicts, with their absolute ``epoch``) from a prior run's
+    metrics CSV, up to ``start_epoch`` — so a resumed trainer *appends* to its
+    metric history instead of restarting the CSV at relative epoch 0."""
+    path = Path(csv_path)
+    if start_epoch <= 0 or not path.exists():
+        return []
+    import pandas as pd
+    try:
+        df = pd.read_csv(path)
+    except Exception:
+        return []
+    if "epoch" not in df.columns:
+        return []
+    return df[df["epoch"] < start_epoch].to_dict("records")

@@ -89,3 +89,54 @@ class TestWarp:
         out = affine_warp(img, make_affine(zoom_y=2.0, zoom_x=2.0), "bilinear")
         assert abs(float(out[4, 4]) - float(img[4, 4])) < 10.0
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestShearWarp:
+    """The LDU shear-decomposed warp vs the exact single-gather warp."""
+
+    def _coord_img(self, h, w):
+        yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 10.0
+        xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 10.0
+        return jnp.stack([yy, xx], axis=-1)                      # (h,w,2)
+
+    def test_identity_exact(self):
+        from dct_tpu.ops.warp import affine_warp_shear
+        img = self._coord_img(32, 32)
+        out = affine_warp_shear(img, make_affine())
+        assert np.allclose(np.asarray(out), np.asarray(img))
+
+    def test_flips_exact(self):
+        from dct_tpu.ops.warp import affine_warp_shear
+        img = self._coord_img(32, 32)
+        out = affine_warp_shear(img, make_affine(flip_lr=True, flip_ud=True))
+        assert np.allclose(np.asarray(out), np.asarray(img)[::-1, ::-1])
+
+    def test_displacement_vs_exact_warp(self):
+        """For PILaugment-distributed thetas, every in-bounds pixel of the
+        shear warp decodes to a source position ≤ 2 px from the exact
+        nearest warp's, and validity masks agree on ≥ 95% of pixels."""
+        from dct_tpu.data.augment import sample_aug_thetas
+        from dct_tpu.ops.warp import affine_warp_shear_batch
+
+        h = w = 64
+        img = jnp.stack([self._coord_img(h, w)] * 8)            # (8,h,w,2)
+        thetas = sample_aug_thetas(jax.random.PRNGKey(3), 8, h, w)
+        exact = jax.vmap(affine_warp, in_axes=(0, 0, None, None))(
+            img, thetas, "nearest", 0.0)
+        shear = affine_warp_shear_batch(img, thetas)
+
+        e, s = np.asarray(exact), np.asarray(shear)
+        valid_e, valid_s = e[..., 0] > 0, s[..., 0] > 0
+        agree = valid_e == valid_s
+        assert agree.mean() > 0.95, agree.mean()
+        both = valid_e & valid_s
+        disp = np.abs(e - s).max(-1)[both]
+        assert disp.max() <= 2.0 + 1e-5, disp.max()
+
+    def test_labels_preserved(self):
+        from dct_tpu.ops.warp import affine_warp_shear
+        gt = jax.random.randint(jax.random.PRNGKey(0), (32, 32), 0, 4)
+        out = affine_warp_shear(gt.astype(jnp.float32)[..., None],
+                                make_affine(angle_deg=30.0))
+        vals = set(np.unique(np.asarray(out)).tolist())
+        assert vals.issubset({0.0, 1.0, 2.0, 3.0})

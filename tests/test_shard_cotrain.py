@@ -72,14 +72,14 @@ def test_parity_with_vmap_step(augment):
     # (measured: a SINGLE vmapped ENet forward differs from a direct apply by
     # ~1e-4 in logits), amplified once through an SGD step.
     sup_a = np.asarray(m_a["sup_loss"])            # (T, K)
-    sup_b = np.asarray(m_b["sup_loss"]).T          # (K, T) → (T, K)
+    sup_b = np.asarray(m_b["sup_loss"])            # (T, K)
     assert np.allclose(sup_a[0], sup_b[0], atol=2e-5), (sup_a[0], sup_b[0])
     assert np.allclose(sup_a, sup_b, atol=5e-3), (sup_a, sup_b)
     jsd_a = np.asarray(m_a["jsd_loss"])
-    jsd_b = np.asarray(m_b["jsd_loss"])[0]
+    jsd_b = np.asarray(m_b["jsd_loss"])[:, 0]
     assert np.allclose(jsd_a[0], jsd_b[0], atol=2e-5)
     assert np.allclose(jsd_a, jsd_b, atol=2e-3)
-    adv_b = np.asarray(m_b["adv_loss"]).sum(0)     # only a's owner nonzero
+    adv_b = np.asarray(m_b["adv_loss"]).sum(1)     # model-axis sum = total
     assert np.allclose(np.asarray(m_a["adv_loss"])[0], adv_b[0], atol=2e-5)
     assert np.allclose(np.asarray(m_a["adv_loss"]), adv_b, atol=5e-3)
 
@@ -88,6 +88,53 @@ def test_parity_with_vmap_step(augment):
                       jax.tree_util.tree_leaves(new_b["params"])):
         assert np.allclose(np.asarray(pa), np.asarray(pb), atol=2e-2), \
             np.abs(np.asarray(pa) - np.asarray(pb)).max()
+
+
+def test_k4_two_groups_parity():
+    """K=4 models on a (model=2, data=1) mesh: each group vmaps K_local=2
+    models; must match the pure-vmap 4-model step (fresh states, iter 0)."""
+    K4 = 4
+    segs = [Segmentator({"name": "enet", "num_classes": 4}, SGD, STEP,
+                        jax.random.PRNGKey(i), input_shape=(1, H, H, 1))
+            for i in range(K4)]
+    seg = segs[0]
+    st = stack_states([{"params": s.state["params"],
+                        "batch_stats": s.state["batch_stats"]} for s in segs])
+    state_a = {"params": st["params"], "batch_stats": st["batch_stats"],
+               "opt_state": seg.tx.init(st["params"])}
+    state_b = jax.tree_util.tree_map(jnp.copy, state_a)
+
+    rs = np.random.RandomState(3)
+    N = 64
+    img = jnp.asarray(rs.randint(0, 255, (N, H, H), dtype=np.uint8))
+    gt = jnp.asarray(rs.randint(0, 4, (N, H, H)).astype(np.uint8))
+    idx_lab = rs.randint(0, N, (T, K4, B)).astype(np.int32)
+    idx_unlab = rs.randint(0, N, (T, Bu)).astype(np.int32)
+    # cross-group pair (a=1 lives on group 0, b=2 on group 1) + in-group pair
+    pairs = np.array([[1, 2], [0, 3]], np.int32)
+    key = jax.random.PRNGKey(11)
+
+    vmap_fn = make_cotrain_epoch(seg, K4, 4, get_loss_fn("cross_entropy"),
+                                 True, True, True, True, 0.03)
+    _, m_a = vmap_fn(state_a, img, gt, idx_lab, idx_unlab, pairs, key,
+                     1e-3, 0.5, 0.05)
+
+    mesh = make_mesh(2, n_model=2)
+    shard_fn = make_shard_cotrain_epoch(seg, mesh, K4, 4,
+                                        get_loss_fn("cross_entropy"),
+                                        True, True, True, 0.03,
+                                        state_template=state_b)
+    _, m_b = shard_fn(state_b, img, gt, idx_lab, idx_unlab, pairs, key,
+                      1e-3, 0.5, 0.05)
+
+    sup_a, sup_b = np.asarray(m_a["sup_loss"]), np.asarray(m_b["sup_loss"])
+    assert sup_b.shape == (T, K4)
+    assert np.allclose(sup_a[0], sup_b[0], atol=2e-5), (sup_a[0], sup_b[0])
+    assert np.allclose(sup_a, sup_b, atol=5e-3)
+    assert np.allclose(np.asarray(m_a["jsd_loss"])[0],
+                       np.asarray(m_b["jsd_loss"])[0, 0], atol=2e-5)
+    assert np.allclose(np.asarray(m_a["adv_loss"])[0],
+                       np.asarray(m_b["adv_loss"]).sum(1)[0], atol=2e-5)
 
 
 def test_model_and_data_axes():
@@ -109,6 +156,59 @@ def test_model_and_data_axes():
     fresh_l = jax.tree_util.tree_leaves(fresh["params"])
     assert any(not np.allclose(np.asarray(a), np.asarray(f))
                for a, f in zip(after, fresh_l))
+
+
+def _build_cotrainer(tmp_path, name, mesh, max_epoch=1):
+    import sys
+    sys.path.insert(0, "tests")
+    from helpers import make_synthetic_acdc
+
+    from dct_tpu.data import MedicalImageDataset
+    from dct_tpu.losses import get_loss_fn as glf
+    from dct_tpu.train import CoTrainer
+
+    root = make_synthetic_acdc(tmp_path / "acdc", size=32)
+    tr = MedicalImageDataset(root, "train", transform=(32, 32), quite=True)
+    va = MedicalImageDataset(root, "val", transform=(32, 32), quite=True)
+    lab = [tr.filter_by_patterns([f"patient{p:03d}" for p in ids])
+           for ids in ([1, 2, 3], [3, 4, 5])]
+    unlab = tr.filter_by_patterns([f"patient{p:03d}" for p in range(6, 11)])
+    segs = [Segmentator({"name": "enet", "num_classes": 4}, ADAM, STEP,
+                        jax.random.PRNGKey(i), input_shape=(1, 32, 32, 1))
+            for i in range(2)]
+    return CoTrainer(segs, lab, unlab, va,
+                     {"sup": glf("cross_entropy"), "jsd": glf("jsd"),
+                      "adv": glf("jsd")},
+                     max_epoch=max_epoch, save_dir=tmp_path / name,
+                     axises=[1, 2, 3], batch_size=4, iters_per_epoch=3,
+                     mesh=mesh)
+
+
+def test_cotrainer_dp_mesh_parity(tmp_path):
+    """A (model=1, data=8) mesh is pure GSPMD DP — same math partitioned, so
+    one epoch must match the single-device run to float noise."""
+    ct_ref = _build_cotrainer(tmp_path, "single", mesh=None)
+    df_ref = ct_ref.start_training(train_jsd=True, train_adv=True,
+                                   augment_labeled_data=True)
+    ct_dp = _build_cotrainer(tmp_path, "dp", mesh=make_mesh(4, n_model=1))
+    df_dp = ct_dp.start_training(train_jsd=True, train_adv=True,
+                                 augment_labeled_data=True)
+    # GSPMD reduces in a different order (tree psum vs single-device sum);
+    # the fp noise is amplified once through Adam's rsqrt step — measured
+    # disagreement is ~2e-3 on losses after one epoch
+    for col in ("sup_loss_0", "sup_loss_1", "jsd_loss", "adv_loss",
+                "val_batch_dice_0_1", "val_batch_dice_1_2"):
+        assert np.allclose(df_ref[col], df_dp[col], atol=1e-2), \
+            (col, df_ref[col].values, df_dp[col].values)
+
+
+def test_choose_parallel_mesh():
+    from dct_tpu.parallel import choose_parallel_mesh
+    m = choose_parallel_mesh(2, 8)
+    assert dict(m.shape) == {"model": 2, "data": 4}
+    m = choose_parallel_mesh(3, 8)      # gcd(3,8)=1 → pure DP
+    assert dict(m.shape) == {"model": 1, "data": 8}
+    assert choose_parallel_mesh(2, 1) is None
 
 
 def test_cotrainer_with_mesh(tmp_path):

@@ -57,11 +57,16 @@ class TestSupervisedTrainer:
                       checkpoint=str(run / "last.ckpt"))
         assert tr2.start_epoch == 1
         df = tr2.start_training()
-        assert len(df) == 1  # only epoch 1 remains
+        # the resumed run reloads epoch 0's row and appends epoch 1 — the
+        # CSV keeps absolute epoch numbering instead of restarting at 0
+        assert list(df["epoch"]) == [0, 1]
+        import pandas as pd
+        csv = pd.read_csv(run / "metrics.csv")
+        assert list(csv["epoch"]) == [0, 1]
 
 
 class TestCoTrainer:
-    def _build(self, datasets, tmp_path, n_iters=6):
+    def _build(self, datasets, tmp_path, n_iters=6, max_epoch=2, checkpoint=None):
         segs = [Segmentator(ARCH, ADAM, STEP, jax.random.PRNGKey(i),
                             input_shape=(1, 32, 32, 1)) for i in range(2)]
         labeled = [datasets["train"].filter_by_patterns(
@@ -73,7 +78,8 @@ class TestCoTrainer:
                       "jsd": get_loss_fn("jsd"), "adv": get_loss_fn("jsd")}
         return CoTrainer(
             segs, labeled, unlab, datasets["val"], criterions,
-            max_epoch=2, save_dir=tmp_path / "cotrain", axises=[1, 2, 3],
+            max_epoch=max_epoch, checkpoint=checkpoint,
+            save_dir=tmp_path / "cotrain", axises=[1, 2, 3],
             cot_scheduler_dict={"name": "RampScheduler", "begin_epoch": 0,
                                 "max_epoch": 50, "max_value": 0.5, "ramp_mult": -5},
             adv_scheduler_dict={"name": "RampScheduler", "begin_epoch": 0,
@@ -99,3 +105,26 @@ class TestCoTrainer:
         df = ct.start_training(train_jsd=False, train_adv=False)
         assert (df["jsd_loss"] == 0).all()
         assert (df["adv_loss"] == 0).all()
+
+    def test_eval_all_models_matches_per_model(self, datasets, tmp_path):
+        ct = self._build(datasets, tmp_path)
+        got = ct._eval_epoch(0)
+        for s, st in enumerate(ct._unstack_model_states()):
+            ref = ct.eval_all(st["params"], st["batch_stats"], ct.val_dev.img,
+                              ct.val_dev.gt, ct._val_idx, ct._val_mask)
+            d2 = np.asarray(ref["dice2d"])[ct.val_buckets.mask].mean(0)
+            assert np.allclose(got["dice2d"][s], d2, atol=1e-5)
+            assert np.allclose(got["dice3d"][s],
+                               np.asarray(ref["dice3d"]).mean(0), atol=1e-5)
+
+    def test_resume_appends_history(self, datasets, tmp_path):
+        ct = self._build(datasets, tmp_path, max_epoch=1)
+        ct.start_training(train_jsd=True, train_adv=False)
+        ct2 = self._build(datasets, tmp_path, max_epoch=2,
+                          checkpoint=str(tmp_path / "cotrain"))
+        assert ct2.start_epoch == 1
+        df = ct2.start_training(train_jsd=True, train_adv=False)
+        assert list(df["epoch"]) == [0, 1]
+        import pandas as pd
+        csv = pd.read_csv(tmp_path / "cotrain" / "metrics.csv")
+        assert list(csv["epoch"]) == [0, 1]

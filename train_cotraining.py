@@ -52,6 +52,18 @@ def main(argv=None) -> CoTrainer:
         grp_regex = bs_cfg[1]["grp_regex"]
 
     trainer_cfg = config["Trainer"]
+    # Trainer.parallel: "auto" → gcd-based (model, data) mesh over all chips;
+    # an int → that many model groups; absent → single device.
+    mesh = None
+    par = trainer_cfg.get("parallel")
+    if par is not None:
+        from dct_tpu.parallel import choose_parallel_mesh, make_mesh
+        n_models = int(config["Lab_Partitions"]["num_models"])
+        mesh = (choose_parallel_mesh(n_models) if par == "auto"
+                else make_mesh(n_model=int(par)))
+        if mesh is not None:
+            print(f">> parallel mesh: {dict(mesh.shape)}")
+
     cotrainer = CoTrainer(
         segmentators=segmentators,
         labeled_datasets=labeled_sets,
@@ -71,6 +83,7 @@ def main(argv=None) -> CoTrainer:
         grp_regex=grp_regex,
         iters_per_epoch=int(trainer_cfg.get("iters_per_epoch", 300)),
         seed=int(config.get("Seed", 1234)),
+        mesh=mesh,
         whole_config=config,
     )
     cotrainer.start_training(**config["StartTraining"])

@@ -32,6 +32,26 @@ def main(argv=None) -> CoTrainerCity:
                         jax.random.fold_in(rng, i), input_shape=(1, h, w, 3))
             for i in range(n_models)]
 
+    # COCO-pretrained DeepLabV2 init (ref:trainer_city.py:56-66): point
+    # Trainer.coco_init_pth at the torch .pth (or a pre-converted .ckpt from
+    # `python -m dct_tpu.utils.torch_convert`); missing file = warn and skip,
+    # like the reference's try/except.
+    pth = config["Trainer"].get("coco_init_pth")
+    if pth:
+        from dct_tpu.utils.torch_convert import init_from_torch_deeplab
+        try:
+            if str(pth).endswith(".ckpt"):
+                from dct_tpu.checkpoint import load_checkpoint
+                sd = load_checkpoint(pth)
+            else:
+                import torch
+                sd = torch.load(pth, map_location="cpu")
+            for s in segs:
+                s.state = init_from_torch_deeplab(s.state, sd)
+            print("Coco pretrained model loaded")
+        except Exception as e:  # noqa: BLE001 (parity: ref warns + continues)
+            print(f"Loading coco pretrained model failed with:\n {e}")
+
     loss_cfg = dict(config.get("Loss", {"name": "cross_entropy"}))
     sup = get_loss_fn(loss_cfg.pop("name"), **loss_cfg)
     criterions = {"sup": sup, "jsd": get_loss_fn("jsd"), "adv": get_loss_fn("jsd")}
