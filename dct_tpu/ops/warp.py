@@ -142,8 +142,9 @@ def affine_warp_shear(img: jnp.ndarray, theta: jnp.ndarray,
 
     Same coordinate convention as :func:`affine_warp` (theta maps centered
     output coords to centered input coords), restricted to fill=0,
-    |m01/m00| ≤ 1, |m10/m00| ≤ 1 and |translation| ≤ H/8 — which covers the
-    PILaugment distribution (|rotation| ≤ 45°, crop ≥ 0.85).
+    |m01/m00| ≤ 1, |m10/m00| ≤ 1 and |translation| ≤ H/2 — which covers the
+    PILaugment distribution (|rotation| ≤ 45°, crop ≥ 0.85) and the
+    Cityscapes key2aug ops at their config defaults.
 
     Stages (each nearest-rounded, so the composite may displace a pixel by
     ≤ ~1.5 px vs the exact warp — immaterial for random augmentation):
@@ -159,7 +160,7 @@ def affine_warp_shear(img: jnp.ndarray, theta: jnp.ndarray,
     c1y, c1x = (h1 - 1) / 2.0, (w1 - 1) / 2.0
 
     # ---- L: out[v, x] = img[v_c + t0 + cy, x_c + l·v_c + t1 + cx] ---------
-    py, px = h // 2 + h // 8, w
+    py, px = h, w
     padded = jnp.pad(img, ((py, py), (px, px), (0, 0)))
     v_c = _iota1(h1) - c1y
     y_idx = jnp.round(v_c + t0 + cy).astype(jnp.int32) + py

@@ -83,11 +83,15 @@ def iou_from_confusion(hist: np.ndarray) -> Dict[str, np.ndarray]:
 def make_city_cotrain_epoch(seg: Segmentator, K: int, C: int,
                             sup_loss: Callable, train_jsd: bool,
                             train_adv: bool, eps_fgsm: float,
-                            eps_vat: float) -> Callable:
+                            eps_vat: float,
+                            augment_fn: Optional[Callable] = None) -> Callable:
     """City co-training epoch: like steps.make_cotrain_epoch but with the
     fresh-batch two-direction FGSM/VAT mix; ``fsgm_flags (T,2)`` bools pick
     FGSM (True) or VAT (False) per direction, drawn host-side with
-    ``fsgm_ratio`` (ref:cotraining_city.py:369,386)."""
+    ``fsgm_ratio`` (ref:cotraining_city.py:369,386). ``augment_fn`` is a
+    composed key2aug augmenter (data.city_augment) applied on device to the
+    labeled/unlabeled streams (the reference augments in DataLoader
+    workers)."""
     assert not train_adv or K == 2, \
         "city adv path is defined for 2 segmentators (ref::364)"
     vapply_own = jax.vmap(seg.apply_train, in_axes=(0, 0, 0))
@@ -102,9 +106,16 @@ def make_city_cotrain_epoch(seg: Segmentator, K: int, C: int,
         def one_step(carry, xs):
             idx_lab_t, idx_unlab_t, idx_adv_lab_t, idx_adv_unlab_t, flags, k = xs
             lab = [normalize_gather(img_u8, gt_u8, idx_lab_t[i]) for i in range(K)]
+            if augment_fn is not None:
+                lab = [augment_fn(im, g, jax.random.fold_in(k, i))
+                       for i, (im, g) in enumerate(lab)]
             lab_img = jnp.stack([x[0] for x in lab])
             lab_gt = jnp.stack([x[1] for x in lab])
             unlab_img, _ = normalize_gather(img_u8, gt_u8, idx_unlab_t)
+            if augment_fn is not None:
+                unlab_img, _ = augment_fn(
+                    unlab_img, jnp.zeros(unlab_img.shape[:3], jnp.int32),
+                    jax.random.fold_in(k, 101))
 
             def total_loss(params_stack):
                 bs = carry["batch_stats"]
@@ -186,6 +197,7 @@ class CoTrainerCity:
                  batch_size: int = 2,
                  iters_per_epoch: Optional[int] = None,
                  seed: int = 1234,
+                 augmentations: Optional[dict] = None,
                  whole_config: Optional[dict] = None) -> None:
         assert len(segmentators) == len(labeled_datasets)
         self.K = len(segmentators)
@@ -210,6 +222,8 @@ class CoTrainerCity:
         self.adv_scheduler = get_weight_scheduler(
             adv_scheduler_dict or {"name": "ConstantScheduler", "begin_epoch": 0,
                                    "max_value": 0.0})
+        from ..data.city_augment import get_composed_augmentations
+        self.augment_fn = get_composed_augmentations(augmentations)
         adv_cfg = adv_training_dict or {}
         self.eps_fgsm = float(adv_cfg.get("eplision", 0.03))
         self.eps_vat = float(adv_cfg.get("vat_eplision", adv_cfg.get("eplision", 10.0)))
@@ -257,7 +271,8 @@ class CoTrainerCity:
         if sig not in self._epoch_fns:
             self._epoch_fns[sig] = make_city_cotrain_epoch(
                 self.seg, self.K, self.C, self.criterions["sup"],
-                train_jsd, train_adv, self.eps_fgsm, self.eps_vat)
+                train_jsd, train_adv, self.eps_fgsm, self.eps_vat,
+                augment_fn=self.augment_fn)
         return self._epoch_fns[sig]
 
     def start_training(self, train_jsd: bool = False, train_adv: bool = False,

@@ -2,6 +2,7 @@
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 from PIL import Image
@@ -114,3 +115,69 @@ class TestCityCoTrainer:
         assert 0.0 <= df["val_mIoU_0"].iloc[0] <= 1.0
         assert np.isfinite(df["adv_loss"]).all()
         assert (tmp_path / "city" / "best_0.ckpt").exists()
+
+
+class TestCityAugment:
+    """key2aug registry parity + composed on-device augmentation."""
+
+    def test_registry_keys_match_reference(self):
+        from dct_tpu.data.city_augment import key2aug
+        # ref:generalframework/dataset/augment.py:223-231 (incl. 'sale' alias)
+        assert set(key2aug) == {"rcrop", "scale", "rsize", "rsizecrop",
+                                "rotate", "ccrop", "sale"}
+
+    def test_rcrop_zooms_window(self):
+        from dct_tpu.data.city_augment import get_composed_augmentations
+        h = w = 32
+        xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+        img = jnp.stack([xx + 10] * 3, -1)[None]       # (1,h,w,3) coord image
+        gt = jnp.zeros((1, h, w), jnp.int32)
+        aug = get_composed_augmentations({"rcrop": [16, 16]})
+        out, _ = aug(img, gt, jax.random.PRNGKey(0))
+        # a 16-wide window fills the 32 canvas → source x advances ~0.5/col
+        # (nearest duplicates columns: diffs alternate 0,1 → mean 0.5)
+        mid = np.asarray(out[0, 16, :, 0])
+        steps = np.diff(mid[(mid > 0)])
+        assert 0.3 <= steps.mean() <= 0.7, steps.mean()
+
+    def test_composed_rotate_crop_labels(self):
+        from dct_tpu.data.city_augment import get_composed_augmentations
+        rs = np.random.RandomState(0)
+        img = jnp.asarray(rs.rand(4, 32, 32, 3).astype(np.float32))
+        gt = jnp.asarray(rs.randint(0, NUM_CLASSES, (4, 32, 32)))
+        aug = get_composed_augmentations({"rotate": 10, "rcrop": [24, 24]})
+        img_a, gt_a = jax.jit(aug)(img, gt, jax.random.PRNGKey(1))
+        assert img_a.shape == img.shape and gt_a.shape == gt.shape
+        vals = set(np.unique(np.asarray(gt_a)).tolist())
+        assert vals <= set(range(NUM_CLASSES)) | {250}
+        # deterministic given the key
+        img_b, _ = jax.jit(aug)(img, gt, jax.random.PRNGKey(1))
+        assert np.allclose(np.asarray(img_a), np.asarray(img_b))
+
+    def test_trainer_with_augmentations(self, city_root, tmp_path):
+        from dct_tpu.losses import get_loss_fn
+        from dct_tpu.models import Segmentator
+        from dct_tpu.train import CoTrainerCity
+
+        config = {"Dataset": {"root_dir": str(city_root),
+                              "image_size": (32, 32), "subsample": 1},
+                  "Lab_Partitions": {"num_models": 2, "partition_sets": 0.5,
+                                     "partition_overlap": 0.5},
+                  "Seed": 1}
+        labeled, unlab, val = get_cityscapes_split(config)
+        segs = [Segmentator({"name": "enet", "num_classes": NUM_CLASSES,
+                             "in_channels": 3}, ADAM, STEP,
+                            jax.random.PRNGKey(i), input_shape=(1, 32, 32, 3))
+                for i in range(2)]
+        sup = get_loss_fn("cross_entropy", ignore_index=250)
+        ct = CoTrainerCity(segs, labeled, unlab, val,
+                           {"sup": sup, "jsd": get_loss_fn("jsd"),
+                            "adv": get_loss_fn("jsd")},
+                           max_epoch=1, save_dir=tmp_path / "city_aug",
+                           batch_size=2, iters_per_epoch=2,
+                           augmentations={"rotate": 10, "rcrop": [24, 24]})
+        df = ct.start_training(train_jsd=True, train_adv=False, save_val=True)
+        assert np.isfinite(df["sup_loss_0"]).all()
+        # per-10-epoch dumps: epoch 0 → iter000/eval/<model>/*.png
+        dumps = list((tmp_path / "city_aug" / "iter000" / "eval").rglob("*.png"))
+        assert dumps, "expected val prediction dumps at epoch 0"

@@ -68,6 +68,7 @@ def main(argv=None) -> CoTrainerCity:
         adv_training_dict=config.get("Adv_Training", {}),
         batch_size=int(config["Lab_Dataloader"]["batch_size"]),
         seed=int(config.get("Seed", 1234)),
+        augmentations=config["Dataset"].get("augmentations"),
         whole_config=config,
     )
     st = {k: v for k, v in config.get("StartTraining", {}).items()
