@@ -5,3 +5,4 @@ from .mesh import (  # noqa: F401
     place_replicated,
     place_stacked_state,
 )
+from .spatial import make_spatial_eval  # noqa: F401

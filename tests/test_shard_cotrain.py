@@ -242,3 +242,52 @@ def test_cotrainer_with_mesh(tmp_path):
     assert np.isfinite(df["jsd_loss"]).all()
     assert np.isfinite(df["adv_loss"]).all()
     assert (tmp_path / "run" / "best_0.ckpt").exists()
+
+
+class TestSpatialEval:
+    """Overlap-tile spatial partitioning (parallel/spatial.py)."""
+
+    def test_exact_when_halo_covers_receptive_field(self):
+        from flax import linen as nn
+
+        from dct_tpu.parallel.spatial import make_spatial_eval
+
+        class TinyFCN(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                x = nn.Conv(8, (3, 3), padding="SAME")(x)
+                x = nn.relu(x)
+                return nn.Conv(4, (3, 3), padding="SAME")(x)
+            # receptive field 5x5 → half-RF 2 < halo 8 → exact
+
+        model = TinyFCN()
+        img = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 128, 1))
+        params = model.init(jax.random.PRNGKey(1), img)
+
+        def apply_fn(p, bs, x):
+            del bs
+            return model.apply(p, x)
+
+        mesh = make_mesh(8, n_model=1)
+        step = make_spatial_eval(apply_fn, mesh, halo=8)
+        tiled = np.asarray(step(params, {}, img))
+        full = np.asarray(apply_fn(params, {}, img))
+        assert tiled.shape == full.shape
+        assert np.allclose(tiled, full, atol=1e-5), np.abs(tiled - full).max()
+
+    def test_enet_tiles_smoke(self):
+        from dct_tpu.parallel.spatial import make_spatial_eval
+
+        seg, state = build_state()
+        mesh = make_mesh(4, n_model=1)
+        img = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 128, 1))
+        params = jax.tree_util.tree_map(lambda x: x[0], state["params"])
+        bs = jax.tree_util.tree_map(lambda x: x[0], state["batch_stats"])
+        step = make_spatial_eval(seg.apply_eval, mesh, halo=16)
+        tiled = np.asarray(step(params, bs, img))          # tile 32+2*16 div 8
+        full = np.asarray(seg.apply_eval(params, bs, img))
+        assert tiled.shape == full.shape == (1, 32, 128, 4)
+        assert np.isfinite(tiled).all()
+        # ENet's dilated receptive field exceeds the halo; centers still agree
+        agree = (tiled.argmax(-1) == full.argmax(-1)).mean()
+        assert agree > 0.9, agree
