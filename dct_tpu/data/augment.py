@@ -58,7 +58,7 @@ def sample_aug_thetas(key: jax.Array, n: int, height: int, width: int) -> jnp.nd
 
 
 def augment_batch(img: jnp.ndarray, gt: jnp.ndarray, key: jax.Array,
-                  fast: bool = True, impl: str = "shear"
+                  fast: bool = True, impl: str = "gather"
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Jointly augment (B,H,W,C) float images and (B,H,W) int labels.
 
@@ -67,9 +67,12 @@ def augment_batch(img: jnp.ndarray, gt: jnp.ndarray, key: jax.Array,
     co-train step. The reference itself resamples rotations with NEAREST
     (ref:augment.py:253); only its crop-resize was bilinear, so this changes
     interpolation detail, not augmentation statistics. ``impl`` picks the
-    fast-path kernel: "shear" = the LDU shear decomposition (contiguous row
-    slices + one-hot MXU matmuls — lane-efficient, see ops/warp.py), "gather"
-    = the exact per-pixel nearest gather. Set ``fast=False`` for the
+    fast-path kernel: "gather" (default) = the exact per-pixel nearest
+    gather; "shear" = the LDU shear decomposition (ops/warp.py). Measured on
+    v5e at 12×256²: gather 8.9 ms, shear 13.7 ms, bilinear 43.7 ms — the
+    gather wins despite its lane inefficiency because the shear's extra
+    passes (2H×1.5W intermediates, transposes, one-hot matmuls) cost more
+    than they save; see BASELINE.md. Set ``fast=False`` for the
     bilinear-image path.
     """
     squeeze_c = img.ndim == 4

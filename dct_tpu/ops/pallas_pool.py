@@ -49,7 +49,7 @@ def _pool_mask_kernel(x_ref, pooled_ref, mask_ref):
     mask_ref[0] = jnp.stack([top, bot], axis=1).reshape(2 * h, 2 * w, ch)
 
 
-def max_pool_2x2_with_mask_pallas(x: jnp.ndarray, block_rows: int = 16
+def max_pool_2x2_with_mask_pallas(x: jnp.ndarray, block_rows: int = 4
                                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(B,H,W,C) → (pooled (B,H/2,W/2,C), argmax mask (B,H,W,C))."""
     B, H, W, C = x.shape
@@ -80,7 +80,7 @@ def _unpool_kernel(y_ref, mask_ref, out_ref):
 
 
 def mask_unpool_2x2_pallas(y: jnp.ndarray, mask: jnp.ndarray,
-                           block_rows: int = 16) -> jnp.ndarray:
+                           block_rows: int = 4) -> jnp.ndarray:
     B, h, w, C = y.shape
     br = min(block_rows, h)
     while h % br:

@@ -152,8 +152,17 @@ def affine_warp_shear(img: jnp.ndarray, theta: jnp.ndarray,
       D  → (2h, w): two one-hot matmuls (axis scales incl. flips) on the MXU;
       U  (2h, w) → (h, w): per-column slices on the transpose (shear).
     """
-    h, w, c = img.shape
     assert fill == 0.0, "shear warp supports fill=0 only (one-hot zero rows)"
+    # channels become batch entries: every pass then keeps W (not C) on the
+    # TPU lane axis — a trailing C of 1-2 would waste 126/128 lanes in the
+    # slices and transposes
+    out = jax.vmap(_warp2d_shear, in_axes=(2, None), out_axes=2)(img, theta)
+    return out
+
+
+def _warp2d_shear(img: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
+    """(H,W) single-channel LDU shear warp (see affine_warp_shear)."""
+    h, w = img.shape
     l, d0, d1, u, t0, t1 = _ldu(theta)
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     h1, w1 = 2 * h, (3 * w) // 2
@@ -161,7 +170,7 @@ def affine_warp_shear(img: jnp.ndarray, theta: jnp.ndarray,
 
     # ---- L: out[v, x] = img[v_c + t0 + cy, x_c + l·v_c + t1 + cx] ---------
     py, px = h, w
-    padded = jnp.pad(img, ((py, py), (px, px), (0, 0)))
+    padded = jnp.pad(img, ((py, py), (px, px)))
     v_c = _iota1(h1) - c1y
     y_idx = jnp.round(v_c + t0 + cy).astype(jnp.int32) + py
     # rows whose x-window would exceed the pad are entirely out-of-image
@@ -171,27 +180,27 @@ def affine_warp_shear(img: jnp.ndarray, theta: jnp.ndarray,
     y_idx = jnp.clip(y_idx, 0, h + 2 * py - 1)
 
     def take_row(y, x):
-        return jax.lax.dynamic_slice(padded, (y, x, 0), (1, w1, c))[0]
+        return jax.lax.dynamic_slice(padded, (y, x), (1, w1))[0]
 
-    stage = jax.vmap(take_row)(y_idx, x0)                       # (h1, w1, c)
+    stage = jax.vmap(take_row)(y_idx, x0)                       # (h1, w1)
 
     # ---- D: rows scale d0 (h1→h1), cols scale d1 (w1→w) — MXU matmuls ----
     ry = _scale_matrix(h1, h1, d0).astype(stage.dtype)
     cm = _scale_matrix(w, w1, d1).astype(stage.dtype)
-    stage = jnp.einsum("vy,yxc->vxc", ry, stage)                # (h1, w1, c)
-    stage = jnp.einsum("ux,yxc->yuc", cm, stage)                # (h1, w, c)
+    stage = ry @ stage                                          # (h1, w1)
+    stage = stage @ cm.T                                        # (h1, w)
 
     # ---- U: out[y, x] = stage[y_c + u·x_c + c1y, x] -----------------------
-    stage_t = jnp.swapaxes(stage, 0, 1)                         # (w, h1, c)
+    stage_t = stage.T                                           # (w, h1)
     x_cs = _iota1(w) - cx
     y0 = jnp.clip(jnp.round(u * x_cs + (c1y - cy)).astype(jnp.int32),
                   0, h1 - h)
 
     def take_col(row, y):
-        return jax.lax.dynamic_slice(row, (y, 0), (h, c))
+        return jax.lax.dynamic_slice(row, (y,), (h,))
 
-    out_t = jax.vmap(take_col)(stage_t, y0)                     # (w, h, c)
-    return jnp.swapaxes(out_t, 0, 1)
+    out_t = jax.vmap(take_col)(stage_t, y0)                     # (w, h)
+    return out_t.T
 
 
 affine_warp_shear_batch = jax.vmap(affine_warp_shear, in_axes=(0, 0))
