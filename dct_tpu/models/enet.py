@@ -78,7 +78,11 @@ class BottleNeck(nn.Module):
             h = nn.Conv(internal, (3, 3), padding=((1, 1), (1, 1)),
                         kernel_init=conv_kernel_init, name="mid_conv")(h)
         elif up:
-            h = nn.ConvTranspose(internal, (3, 3), strides=(2, 2), padding="SAME",
+            # torch ConvTranspose2d(k=3, s=2, padding=1, output_padding=1)
+            # pads the stride-dilated input (1, 2) per axis; lax's "SAME"
+            # would pad (2, 1) — a one-pixel shift (ref:enet.py:98-99)
+            h = nn.ConvTranspose(internal, (3, 3), strides=(2, 2),
+                                 padding=((1, 2), (1, 2)),
                                  kernel_init=conv_kernel_init, name="mid_deconv")(h)
         elif self.variant == "dilated":
             d = self.dilation_rate

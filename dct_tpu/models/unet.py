@@ -5,20 +5,17 @@ Structure parity: encoder stages of two valid 3x3 convs (+optional BN) + ReLU
 with 2x2 ceil-mode max-pool; center with dropout; decoder stages of two valid
 3x3 convs + 2x-transposed-conv; skip connections bilinearly resized to the
 running feature size; final 1x1 conv bilinearly resized back to the input
-size. (torch's F.upsample_bilinear is align_corners=True; jax.image.resize
-uses half-pixel centers — an intentional, documented divergence.)
+size. Resizes use align_corners=True bilinear (torch F.upsample_bilinear
+semantics) via ops.resize — exact forward parity, verified by
+tests/test_forward_parity.py against weight-converted reference nets.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.resize import resize_bilinear_align_corners as _resize_bilinear
 from .layers import batch_norm, conv_kernel_init
-
-
-def _resize_bilinear(x: jnp.ndarray, hw) -> jnp.ndarray:
-    return jax.image.resize(x, (x.shape[0], hw[0], hw[1], x.shape[-1]), "bilinear")
 
 
 def _ceil_maxpool(x: jnp.ndarray) -> jnp.ndarray:
@@ -90,14 +87,18 @@ class UNet(nn.Module):
                                   kernel_init=conv_kernel_init, name="center_up")(center)
         center = nn.relu(center)
 
+        # the reference's skip connections are the POST-pool stage outputs —
+        # UNetDec's Sequential ends in the max-pool, and forward feeds dec4/
+        # dec3/… (ref:network.py:160-168,226-236) — not the classic pre-pool
+        # features (pinned by tests/test_forward_parity.py)
         h = _Enc(512, 256, bn, name="enc4")(
-            jnp.concatenate([center, _resize_bilinear(dec4, center.shape[1:3])], -1), train)
+            jnp.concatenate([center, _resize_bilinear(d4, center.shape[1:3])], -1), train)
         h = _Enc(256, 128, bn, name="enc3")(
-            jnp.concatenate([h, _resize_bilinear(dec3, h.shape[1:3])], -1), train)
+            jnp.concatenate([h, _resize_bilinear(d3, h.shape[1:3])], -1), train)
         h = _Enc(128, 64, bn, name="enc2")(
-            jnp.concatenate([h, _resize_bilinear(dec2, h.shape[1:3])], -1), train)
+            jnp.concatenate([h, _resize_bilinear(d2, h.shape[1:3])], -1), train)
         h = _DoubleConv(64, bn, bn_second=not bn, name="enc1")(
-            jnp.concatenate([h, _resize_bilinear(dec1, h.shape[1:3])], -1), train)
+            jnp.concatenate([h, _resize_bilinear(d1, h.shape[1:3])], -1), train)
         logits = nn.Conv(self.num_classes, (1, 1), kernel_init=conv_kernel_init,
                          name="final")(h)
         return _resize_bilinear(logits, x.shape[1:3])

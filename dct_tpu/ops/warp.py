@@ -112,9 +112,23 @@ affine_warp_batch = jax.vmap(affine_warp, in_axes=(0, 0, None, None))
 
 def _ldu(theta: jnp.ndarray):
     """theta (2,3) → (l, d0, d1, u, t0, t1) with M = [[1,0],[l,1]] @
-    diag(d0,d1) @ [[1,u],[0,1]]."""
+    diag(d0,d1) @ [[1,u],[0,1]].
+
+    Debug-gated domain check: the shear decomposition is only exact for
+    |m01/m00| ≤ 1, |m10/m00| ≤ 1 (see affine_warp_shear) — out-of-domain
+    thetas (e.g. rotation > 45° composed with strong zoom) would silently
+    corrupt the augmentation. Enable utils.general.set_debug(True) to fail
+    loudly on concrete thetas outside the domain.
+    """
+    from ..utils.general import debug_enabled
+
     m00, m01, t0 = theta[0, 0], theta[0, 1], theta[0, 2]
     m10, m11, t1 = theta[1, 0], theta[1, 1], theta[1, 2]
+    if debug_enabled() and not isinstance(theta, jax.core.Tracer):
+        sh_u, sh_l = abs(float(m01 / m00)), abs(float(m10 / m00))
+        assert sh_u <= 1.0 + 1e-6 and sh_l <= 1.0 + 1e-6, (
+            f"shear warp domain violated: |m01/m00|={sh_u:.3f}, "
+            f"|m10/m00|={sh_l:.3f} (both must be ≤ 1; use impl='gather')")
     u = m01 / m00
     l = m10 / m00
     d1 = m11 - m10 * m01 / m00

@@ -43,7 +43,12 @@ def make_spatial_eval(apply_fn: Callable, mesh: Mesh, halo: int,
     def body(params, batch_stats, img):
         i = jax.lax.axis_index(axis)
         b, h, w, c = img.shape
+        assert w % n == 0, (
+            f"spatial eval: W={w} not divisible by {axis} axis size {n} — "
+            f"the concatenating out-spec would silently truncate the output")
         wt = w // n
+        assert w >= wt + 2 * halo, (
+            f"spatial eval: W={w} too small for tile {wt} + 2*halo {halo}")
         wwin = wt + 2 * halo
         # clamp the window INSIDE the image: edge tiles see the true image
         # border, so the net's own padding applies exactly as in the full

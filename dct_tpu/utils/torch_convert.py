@@ -90,6 +90,187 @@ def convert_deeplabv2(state_dict: Dict[str, Any]) -> Dict[str, Dict]:
     return out
 
 
+# --------------------------------------------------------------------------
+# ENet / UNet converters — forward-level golden parity
+# (tests/test_forward_parity.py asserts logit agreement vs the reference's
+# torch nets, ref:generalframework/arch/enet.py:234-243, network.py:196-290)
+# --------------------------------------------------------------------------
+
+def _conv_k(arr: np.ndarray) -> np.ndarray:
+    """torch Conv2d weight (O,I,kh,kw) → flax (kh,kw,I,O)."""
+    return arr.transpose(2, 3, 1, 0)
+
+
+def _deconv_k(arr: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d weight (I,O,kh,kw) → flax ConvTranspose kernel
+    (kh,kw,I,O), spatially flipped (lax.conv_transpose does not flip)."""
+    return arr.transpose(2, 3, 0, 1)[::-1, ::-1]
+
+
+def _set(out: Dict, coll: str, path: Tuple[str, ...], arr: np.ndarray) -> None:
+    node = out[coll]
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = arr
+
+
+def _bn_entry(out: Dict, base: Tuple[str, ...], leaf: str, arr: np.ndarray) -> bool:
+    if leaf not in _BN_MAP:
+        return leaf == "num_batches_tracked"
+    coll, flax_leaf = _BN_MAP[leaf]
+    _set(out, coll, base + (flax_leaf,), arr)
+    return True
+
+
+# my flax Enet flattens the reference's two dilated sections into
+# bottleneck_2_1..2_16 (models/enet.py:144-150); torch names them
+# bottleneck_2_1..2_8 + bottleneck_3_1..3_8 (ref:enet.py:155-162)
+_ENET_DEC_NAMES = {0: "bottleneck_4_0", 1: "bottleneck_4_1", 2: "bottleneck_4_2",
+                   3: "bottleneck_5_0", 4: "bottleneck_5_1"}
+_ENET_UP = {"bottleneck_4_0", "bottleneck_5_0"}
+# decoder bottlenecks are use_relu=True → no PReLU params exist there
+_ENET_RELU = set(_ENET_DEC_NAMES.values())
+
+
+def _enet_block_name(key: str) -> Optional[Tuple[str, str]]:
+    """torch 'encoder.bottleneck_3_4.rest' / 'decoder.layers.2.rest' →
+    (flax block name, rest)."""
+    m = re.fullmatch(r"encoder\.(initial|bottleneck_(\d)_(\d+))\.(.*)", key)
+    if m:
+        name = m.group(1)
+        if name != "initial" and m.group(2) == "3":
+            name = f"bottleneck_2_{8 + int(m.group(3))}"
+        return name, m.group(4)
+    m = re.fullmatch(r"decoder\.layers\.(\d+)\.(.*)", key)
+    if m:
+        i = int(m.group(1))
+        if i == 5:
+            return "fullconv", m.group(2)
+        return _ENET_DEC_NAMES[i], m.group(2)
+    return None
+
+
+def convert_enet(state_dict: Dict[str, Any]) -> Dict[str, Dict]:
+    """Reference torch Enet state_dict → dct_tpu Enet
+    {'params','batch_stats'} pytrees (ref:generalframework/arch/enet.py)."""
+    out: Dict[str, Dict] = {"params": {}, "batch_stats": {}}
+    for key, val in state_dict.items():
+        arr = _to_numpy(val)
+        loc = _enet_block_name(key)
+        assert loc is not None, f"unmapped ENet key: {key}"
+        name, rest = loc
+        if name == "initial":
+            sub, leaf = rest.split(".", 1)
+            if sub == "conv":
+                _set(out, "params", ("initial", "Conv_0",
+                                     "kernel" if leaf == "weight" else "bias"),
+                     _conv_k(arr) if leaf == "weight" else arr)
+            elif sub == "batch_norm":
+                assert _bn_entry(out, ("initial", "BatchNorm_0"), leaf, arr), key
+            else:
+                assert (sub, leaf) == ("prelu", "weight"), key
+                _set(out, "params", ("initial", "PReLU_0", "alpha"), arr)
+            continue
+        if name == "fullconv":
+            _set(out, "params", ("fullconv",
+                                 "kernel" if rest == "weight" else "bias"),
+                 _deconv_k(arr) if rest == "weight" else arr)
+            continue
+        parts = rest.split(".")
+        sub = parts[0]
+        if sub == "block1x1_1":
+            tgt = {"0": "proj_in", "1": "bn_in", "2": "act_in"}[parts[1]]
+        elif sub == "block1x1_2":
+            tgt = {"0": "proj_out", "1": "bn_out", "2": "act_out"}[parts[1]]
+        elif sub == "conv_before_unpool":
+            tgt = {"0": "unpool_proj", "1": "bn_unpool"}[parts[1]]
+        elif sub == "middle_block":
+            if parts[1] == "0":
+                if len(parts) == 4:   # asym: middle_block.0.{0,1}.leaf
+                    tgt = "mid_conv_a" if parts[2] == "0" else "mid_conv_b"
+                    parts = [sub, parts[2], parts[3]]
+                else:
+                    tgt = "mid_deconv" if name in _ENET_UP else "mid_conv"
+            else:
+                tgt = {"1": "bn_mid", "2": "act_mid"}[parts[1]]
+        else:
+            raise AssertionError(f"unmapped ENet key: {key}")
+        leaf = parts[-1]
+        if tgt.startswith("bn_"):
+            # bottleneck BNs are explicitly named (batch_norm(name="bn_x")),
+            # so there is no auto "BatchNorm_0" level under them
+            assert _bn_entry(out, (name, tgt), leaf, arr), key
+        elif tgt.startswith("act_"):
+            assert leaf == "weight", key
+            _set(out, "params", (name, tgt, "alpha"), arr)
+        elif tgt == "mid_deconv":
+            _set(out, "params", (name, tgt,
+                                 "kernel" if leaf == "weight" else "bias"),
+                 _deconv_k(arr) if leaf == "weight" else arr)
+        else:
+            _set(out, "params", (name, tgt,
+                                 "kernel" if leaf == "weight" else "bias"),
+                 _conv_k(arr) if leaf == "weight" else arr)
+    return out
+
+
+def convert_unet(state_dict: Dict[str, Any], bn: bool) -> Dict[str, Dict]:
+    """Reference torch UNet / UNet_bn state_dict → dct_tpu UNet pytrees
+    (ref:generalframework/arch/network.py:196-290). ``bn`` selects the
+    sequential-index layout of the _bn variant."""
+    # per-module maps: torch sequential index → flax submodule name
+    if bn:
+        dec = {"0": ("Conv_0", "conv"), "1": ("BatchNorm_0", "bn"),
+               "3": ("Conv_1", "conv")}
+        center = {"0": ("Conv_0", "conv"), "1": ("BatchNorm_0", "bn"),
+                  "3": ("Conv_1", "conv"), "4": ("BatchNorm_1", "bn"),
+                  "7": ("__up__", "deconv")}
+        enc = {"0": ("_DoubleConv_0/Conv_0", "conv"),
+               "1": ("_DoubleConv_0/BatchNorm_0", "bn"),
+               "3": ("_DoubleConv_0/Conv_1", "conv"),
+               "4": ("_DoubleConv_0/BatchNorm_1", "bn"),
+               "6": ("ConvTranspose_0", "deconv")}
+        enc1 = dec
+    else:
+        dec = {"0": ("Conv_0", "conv"), "2": ("Conv_1", "conv")}
+        center = {"0": ("Conv_0", "conv"), "2": ("Conv_1", "conv"),
+                  "5": ("__up__", "deconv")}
+        enc = {"0": ("_DoubleConv_0/Conv_0", "conv"),
+               "2": ("_DoubleConv_0/Conv_1", "conv"),
+               "4": ("ConvTranspose_0", "deconv")}
+        enc1 = dec
+
+    out: Dict[str, Dict] = {"params": {}, "batch_stats": {}}
+    for key, val in state_dict.items():
+        arr = _to_numpy(val)
+        if key.startswith("final."):
+            leaf = key.split(".", 1)[1]
+            _set(out, "params", ("final", "kernel" if leaf == "weight" else "bias"),
+                 _conv_k(arr) if leaf == "weight" else arr)
+            continue
+        m = re.fullmatch(r"(dec[1-4]|center|enc[1-4])\.(down|up|)\.?(\d+)\.(\w+)", key)
+        assert m, f"unmapped UNet key: {key}"
+        mod, _seq, idx, leaf = m.groups()
+        table = (center if mod == "center" else
+                 enc1 if mod == "enc1" else
+                 enc if mod.startswith("enc") else dec)
+        assert idx in table, f"unmapped UNet key: {key}"
+        sub, kind = table[idx]
+        if sub == "__up__":
+            path: Tuple[str, ...] = ("center_up",)
+        else:
+            path = (mod,) + tuple(sub.split("/"))
+        if kind == "bn":
+            assert _bn_entry(out, path, leaf, arr), key
+        elif kind == "deconv":
+            _set(out, "params", path + ("kernel" if leaf == "weight" else "bias",),
+                 _deconv_k(arr) if leaf == "weight" else arr)
+        else:
+            _set(out, "params", path + ("kernel" if leaf == "weight" else "bias",),
+                 _conv_k(arr) if leaf == "weight" else arr)
+    return out
+
+
 def merge_pytree(dst: Dict, src: Dict) -> Tuple[Dict, int, int]:
     """Recursively copy matching-shape leaves of ``src`` onto a copy of
     ``dst``; returns (merged, n_loaded, n_skipped) — strict=False semantics."""
@@ -105,7 +286,9 @@ def merge_pytree(dst: Dict, src: Dict) -> Tuple[Dict, int, int]:
                     continue
                 sv = np.asarray(s[k])
                 if hasattr(v, "shape") and tuple(v.shape) == tuple(sv.shape):
-                    out[k] = sv.astype(np.asarray(v).dtype)
+                    # v.dtype reads metadata only — np.asarray(v) would pull
+                    # the whole device leaf host-side (one tunnel RT per leaf)
+                    out[k] = sv.astype(v.dtype)
                     loaded += 1
                 else:
                     out[k] = v

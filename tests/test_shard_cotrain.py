@@ -110,8 +110,9 @@ def test_k4_two_groups_parity():
     gt = jnp.asarray(rs.randint(0, 4, (N, H, H)).astype(np.uint8))
     idx_lab = rs.randint(0, N, (T, K4, B)).astype(np.int32)
     idx_unlab = rs.randint(0, N, (T, Bu)).astype(np.int32)
-    # cross-group pair (a=1 lives on group 0, b=2 on group 1) + in-group pair
-    pairs = np.array([[1, 2], [0, 3]], np.int32)
+    # [1,2] is cross-group (groups {0,1},{2,3}); [0,1] is genuinely in-group
+    # (a_own==b_own FGSM path: gen/adv BN updates on two slots of one shard)
+    pairs = np.array([[1, 2], [0, 1]], np.int32)
     key = jax.random.PRNGKey(11)
 
     vmap_fn = make_cotrain_epoch(seg, K4, 4, get_loss_fn("cross_entropy"),
