@@ -191,6 +191,65 @@ def make_eval_all_models_step(seg: Segmentator, C: int, loss_weight=None) -> Cal
     return step
 
 
+def make_summary_step(seg: Segmentator, C: int, ensemble: str = "soft") -> Callable:
+    """The whole ensemble evaluation (ref:Summary.py:147-172) as ONE jit:
+    ``step(stacked_params, stacked_batch_stats, img_u8, gt_u8,
+    indices (P,L), masks (P,L))`` → per-model + ensemble class maps (uint8,
+    for host-side Hausdorff/kappa/PNG dumps) and per-slice 2D / per-patient
+    3D dices, all padded by the patient masks.
+
+    Replaces summary.py's per-patient-per-model dispatch loop (P×K jit calls
+    each fetching full (L,H,W,C) float probs over the device→host tunnel)
+    with one dispatch and a uint8-class-map fetch — the probs never leave
+    the device.
+    """
+
+    def dices(pred, gt_oh, m4, gt_sum2, gt_sum3):
+        pred_oh = class2one_hot(pred, C) * m4
+        inter2 = jnp.sum(gt_oh * pred_oh, axis=(1, 2))
+        sums2 = gt_sum2 + jnp.sum(pred_oh, axis=(1, 2))
+        inter3 = jnp.sum(gt_oh * pred_oh, axis=(0, 1, 2))
+        sums3 = gt_sum3 + jnp.sum(pred_oh, axis=(0, 1, 2))
+        return ((2 * inter2 + 1e-8) / (sums2 + 1e-8),
+                (2 * inter3 + 1e-8) / (sums3 + 1e-8))
+
+    def one_patient(params, batch_stats, img_u8, gt_u8, idx, mask):
+        img, gt = normalize_gather(img_u8, gt_u8, idx)
+        m4 = mask.astype(img.dtype)[:, None, None, None]
+        gt_oh = class2one_hot(gt, C) * m4
+        gt_sum2 = jnp.sum(gt_oh, axis=(1, 2))       # (L,C)
+        gt_sum3 = jnp.sum(gt_oh, axis=(0, 1, 2))    # (C,)
+
+        probs = jax.vmap(
+            lambda p, bs: jax.nn.softmax(seg.apply_eval(p, bs, img), -1)
+        )(params, batch_stats)                      # (K,L,H,W,C)
+        model_pred = jnp.argmax(probs, axis=-1)     # (K,L,H,W)
+        if ensemble == "soft":
+            ens_pred = jnp.argmax(jnp.mean(probs, axis=0), axis=-1)
+        else:
+            # pixelwise majority vote; argmax ties resolve to the smallest
+            # class id (documented divergence, PARITY.md)
+            votes = jnp.sum(jax.nn.one_hot(model_pred, C, dtype=jnp.int32,
+                                           axis=-1), axis=0)
+            ens_pred = jnp.argmax(votes, axis=-1)
+
+        d2m, d3m = jax.vmap(dices, in_axes=(0, None, None, None, None))(
+            model_pred, gt_oh, m4, gt_sum2, gt_sum3)
+        d2e, d3e = dices(ens_pred, gt_oh, m4, gt_sum2, gt_sum3)
+        return {"pred": model_pred.astype(jnp.uint8),
+                "ens": ens_pred.astype(jnp.uint8),
+                "dice2d": d2m, "dice3d": d3m,
+                "ens_dice2d": d2e, "ens_dice3d": d3e}
+
+    @jax.jit
+    def step(params, batch_stats, img_u8, gt_u8, indices, masks):
+        return jax.lax.map(
+            lambda xs: one_patient(params, batch_stats, img_u8, gt_u8, *xs),
+            (indices, masks))
+
+    return step
+
+
 # ---------------------------------------------------------------------------
 # the K-model co-training epoch (the centerpiece)
 # ---------------------------------------------------------------------------

@@ -139,56 +139,64 @@ def main(argv=None) -> Dict[str, pd.DataFrame]:
 
     import jax.numpy as jnp
 
-    @jax.jit
-    def _probs_of(params, batch_stats, img_u8, idx):
-        img = jnp.take(img_u8, idx, axis=0).astype(jnp.float32) / 255.0
-        if img.ndim == 3:
-            img = img[..., None]
-        logits = segs[0].apply_eval(params, batch_stats, img)
-        return jax.nn.softmax(logits, axis=-1)
+    from dct_tpu.models import stack_states
+    from dct_tpu.train.steps import make_summary_step
+    from dct_tpu.utils.general import save_images
 
-    def probs_of(params, batch_stats, idx):
-        # dataset array passed as an argument (device-resident), not closed
-        # over — closures embed it as a compile-time constant
-        return _probs_of(params, batch_stats, dev.img, idx)
+    K = len(segs)
+    # ---- ONE jit call for all P patients × K models (steps.py:
+    # make_summary_step); only uint8 class maps + dice tensors come back ----
+    stacked = stack_states([{"params": s.state["params"],
+                             "batch_stats": s.state["batch_stats"]}
+                            for s in segs])
+    step = make_summary_step(segs[0], C, ensemble=args.ensemble_method)
+    out = step(stacked["params"], stacked["batch_stats"], dev.img, dev.gt,
+               jnp.asarray(buckets.indices), jnp.asarray(buckets.mask))
+    preds = np.asarray(out["pred"])          # (P,K,L,H,W) uint8
+    ens_preds = np.asarray(out["ens"])       # (P,L,H,W) uint8
+    dice2d = np.asarray(out["dice2d"])       # (P,K,L,C)
+    dice3d = np.asarray(out["dice3d"])       # (P,K,C)
+    ens_dice2d = np.asarray(out["ens_dice2d"])   # (P,L,C)
+    ens_dice3d = np.asarray(out["ens_dice3d"])   # (P,C)
 
     kappa_meter = KappaMetrics()
     rows2d, rows3d = [], []
+    # per-slice / per-patient raw logs (ref:Summary.py:248-252)
+    logs2d: List[List[np.ndarray]] = [[] for _ in range(K + 1)]
     for p in range(len(buckets)):
-        idx = buckets.indices[p]
         mask = buckets.mask[p]
         name = buckets.patients[p]
-        gt = val_set.data["gt"][idx[mask]].astype(np.int64)
-        probs = np.stack([np.asarray(probs_of(s.state["params"],
-                                              s.state["batch_stats"], idx))[mask]
-                          for s in segs])                       # (K,L,H,W,C)
-        model_preds = probs.argmax(-1)
-        ens = (soft_voting(probs) if args.ensemble_method == "soft"
-               else hard_voting(probs))
+        idx = buckets.indices[p][mask]
+        gt = val_set.data["gt"][idx].astype(np.int64)
+        model_preds = preds[p][:, mask]      # (K,L,H,W)
+        ens = ens_preds[p][mask]
         kappa_meter.add(list(model_preds), ens, considered_classes=args.axises)
+
+        slice_names = [val_set.filenames[i] for i in idx]
+        for s in range(K):
+            save_images(model_preds[s], slice_names, run_dir, "val", 1000, str(s))
+            logs2d[s].append(dice2d[p, s][mask])
+        save_images(ens, slice_names, run_dir, "val", 1000, "voting")
+        logs2d[K].append(ens_dice2d[p][mask])
 
         spacing = spacing_by_patient.get(name.split("_")[0])
         row2d, row3d = {"patient": name}, {"patient": name}
-        for s in range(len(segs)):
-            d2 = dice_from_class_maps(model_preds[s], gt, C, per_slice=True)
-            d3 = dice_from_class_maps(model_preds[s], gt, C, per_slice=False)
+        for s in range(K):
             for i in args.axises:
-                row2d[f"S{s}_DSC{i}"] = d2[:, i].mean()
-                row3d[f"S{s}_DSC{i}"] = d3[i]
+                row2d[f"S{s}_DSC{i}"] = dice2d[p, s][mask, i].mean()
+                row3d[f"S{s}_DSC{i}"] = dice3d[p, s, i]
             row3d[f"S{s}_HD"] = np.nanmean([
                 hausdorff_distance(model_preds[s] == i, gt == i, spacing)
                 for i in args.axises])
-        d2e = dice_from_class_maps(ens, gt, C, per_slice=True)
-        d3e = dice_from_class_maps(ens, gt, C, per_slice=False)
         for i in args.axises:
-            row2d[f"ens_DSC{i}"] = d2e[:, i].mean()
-            row3d[f"ens_DSC{i}"] = d3e[i]
+            row2d[f"ens_DSC{i}"] = ens_dice2d[p][mask, i].mean()
+            row3d[f"ens_DSC{i}"] = ens_dice3d[p, i]
         row3d["ens_HD"] = np.nanmean([hausdorff_distance(ens == i, gt == i, spacing)
                                       for i in args.axises])
         rows2d.append(row2d)
         rows3d.append(row3d)
         print(f"  {name}: ens 3D fg dice "
-              f"{np.mean([d3e[i] for i in args.axises]):.4f}")
+              f"{np.mean([ens_dice3d[p, i] for i in args.axises]):.4f}")
 
     summary = pd.DataFrame(rows2d).set_index("patient")
     bsummary = pd.DataFrame(rows3d).set_index("patient")
@@ -198,9 +206,33 @@ def main(argv=None) -> Dict[str, pd.DataFrame]:
     summary.to_csv(run_dir / "summary.csv", float_format="%.4f")
     bsummary.to_csv(run_dir / "bsummary.csv", float_format="%.4f")
     div.to_csv(run_dir / "div.csv", float_format="%.4f", index=False)
-    print(f"wrote {run_dir}/summary.csv, bsummary.csv, div.csv")
+
+    # ---- reference-format std tables + raw per-slice/per-patient logs
+    # (ref:Summary.py:199-252) --------------------------------------------
+    cols = {f"model_{s}": s for s in range(K)}
+    names2d = {**{"ensemble": K}, **cols}
+    all2d = [np.concatenate(logs2d[i], axis=0) for i in range(K + 1)]  # (ΣL,C)
+    summary_std = pd.DataFrame(
+        {nm: {f"DSC{c}": all2d[i][:, c].std() for c in range(C)}
+         for nm, i in names2d.items()})
+    summary_std.to_csv(run_dir / "summary_std.csv", float_format="%.4f")
+    d3_all = {**{"ensemble": ens_dice3d}, **{f"model_{s}": dice3d[:, s]
+                                             for s in range(K)}}
+    bsummary_std = pd.DataFrame(
+        {nm: {f"DSC{c}": v[:, c].std() for c in range(C)}
+         for nm, v in d3_all.items()})
+    bsummary_std.to_csv(run_dir / "bsummary_std.csv", float_format="%.4f")
+
+    pd.DataFrame(all2d[K]).to_csv(run_dir / "log_2Ddice_ensemble.csv")
+    pd.DataFrame(ens_dice3d).to_csv(run_dir / "log_3Ddice_ensemble.csv")
+    for s in range(K):
+        pd.DataFrame(all2d[s]).to_csv(run_dir / f"log_2Ddice_model_{s}.csv")
+        pd.DataFrame(dice3d[:, s]).to_csv(run_dir / f"log_3Ddice_model_{s}.csv")
+    print(f"wrote {run_dir}/summary.csv, bsummary.csv, div.csv, *_std.csv, "
+          f"log_{{2,3}}Ddice_*.csv, iter1000/val PNGs")
     print(bsummary.loc["mean"].to_string())
-    return {"summary": summary, "bsummary": bsummary, "div": div}
+    return {"summary": summary, "bsummary": bsummary, "div": div,
+            "summary_std": summary_std, "bsummary_std": bsummary_std}
 
 
 if __name__ == "__main__":
