@@ -1,1 +1,2 @@
-from .slicers import norm_arr, save_volume_slices  # noqa: F401
+from .slicers import (center_crop, norm_arr, resize_by_resolution,  # noqa: F401
+                      save_spin_slices, save_volume_slices)

@@ -162,6 +162,96 @@ def slice_promise(source_dir: str, dest_dir: str, shape=(256, 256),
                            n_augment if mode == "train" else 0, seed=seed)
 
 
+def resize_by_resolution(arr2d: np.ndarray, pixeldim: Tuple[float, float],
+                         t_pixeldim: Tuple[float, float] = (0.25, 0.25),
+                         ) -> np.ndarray:
+    """Resample a 2D slice from its voxel spacing to a target spacing
+    (ref:slice_spin.py:30-47 Resize: PIL size = shape·pixeldim/t_pixeldim)."""
+    ratio = (pixeldim[0] / t_pixeldim[0], pixeldim[1] / t_pixeldim[1])
+    size = (int(arr2d.shape[0] * ratio[0]), int(arr2d.shape[1] * ratio[1]))
+    return np.array(Image.fromarray(arr2d.astype(np.uint8)).resize(size))
+
+
+def center_crop(arr2d: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """Center crop with zero-pad when smaller (torchvision F.center_crop
+    semantics, ref:slice_spin.py:50-74)."""
+    th, tw = size
+    h, w = arr2d.shape[:2]
+    ph, pw = max(th - h, 0), max(tw - w, 0)
+    if ph or pw:
+        arr2d = np.pad(arr2d, ((ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2)))
+        h, w = arr2d.shape[:2]
+    y0, x0 = (h - th) // 2, (w - tw) // 2
+    return arr2d[y0:y0 + th, x0:x0 + tw]
+
+
+def save_spin_slices(img: np.ndarray, gt: Optional[np.ndarray], stem: str,
+                     dest_dir: Path, pixeldim: Tuple[float, float],
+                     crop_size: Tuple[int, int] = (200, 200),
+                     t_pixeldim: Tuple[float, float] = (0.25, 0.25),
+                     gt_stem: Optional[str] = None) -> List[str]:
+    """Slice one spinal-cord GM volume: whole-volume norm → per-slice
+    resolution resample → center crop → ``{stem}_{slice}.png``
+    (ref:slice_spin.py:107-139 save_slices). ``gt`` may be None for the
+    unlabeled pool (then no gt/ folder is written)."""
+    (Path(dest_dir, "img")).mkdir(parents=True, exist_ok=True)
+    if gt is not None:
+        (Path(dest_dir, "gt")).mkdir(parents=True, exist_ok=True)
+        assert img.shape == gt.shape, (img.shape, gt.shape)
+    norm_img = norm_arr(img)
+    stems: List[str] = []
+    for j in range(img.shape[-1]):
+        c_img = center_crop(
+            resize_by_resolution(norm_img[:, :, j], pixeldim, t_pixeldim),
+            crop_size)
+        Image.fromarray(c_img).save(Path(dest_dir, "img", f"{stem}_{j}.png"))
+        if gt is not None:
+            c_gt = center_crop(
+                resize_by_resolution(gt[:, :, j], pixeldim, t_pixeldim),
+                crop_size)
+            Image.fromarray(c_gt.astype(np.uint8)).save(
+                Path(dest_dir, "gt", f"{gt_stem or stem}_{j}.png"))
+        stems.append(f"{stem}_{j}")
+    return stems
+
+
+_SPIN_SITE_RE = re.compile(r"(site\d-sc\d\d)-image")
+
+
+def slice_spin(source_dir: str, dest_dir: str, crop_size=(200, 200),
+               t_pixeldim=(0.25, 0.25)) -> None:
+    """Spinal-cord GM challenge layout → PNG trees
+    (ref:slice_spin.py:142-166 main): ``train/`` holds
+    ``site{S}-sc{NN}-image.nii.gz`` + ``site{S}-sc{NN}-mask-r1.nii.gz``
+    pairs, ``unlabel/`` holds images only; output ``dest/{train,unlabeled}``.
+    """
+    src = Path(source_dir)
+    assert (src / "train").exists() and (src / "unlabel").exists(), src
+    train_nii = list((src / "train").glob("*.nii*"))
+    img_nii = sorted(p for p in train_nii if "-image" in p.name)
+    gt_nii = sorted(p for p in train_nii if "mask-r1" in p.name)
+    assert len(img_nii) == len(gt_nii), (len(img_nii), len(gt_nii))
+    unlabeled = sorted((src / "unlabel").glob("*image.nii*"))
+    print(f"found {len(img_nii)} paired + {len(unlabeled)} unlabeled volumes")
+
+    def _spacing(p: Path) -> Tuple[float, float]:
+        import nibabel as nib
+        return tuple(nib.load(str(p)).header.get_zooms()[:2])
+
+    for img_p, gt_p in zip(img_nii, gt_nii):
+        m = _SPIN_SITE_RE.match(img_p.name)
+        assert m, img_p.name
+        assert gt_p.name.startswith(m.group(1)), (img_p.name, gt_p.name)
+        save_spin_slices(_load_nii(img_p), _load_nii(gt_p),
+                         img_p.name.split(".")[0], Path(dest_dir, "train"),
+                         _spacing(img_p), crop_size, t_pixeldim,
+                         gt_stem=gt_p.name.split(".")[0])
+    for img_p in unlabeled:
+        save_spin_slices(_load_nii(img_p), None, img_p.name.split(".")[0],
+                         Path(dest_dir, "unlabeled"), _spacing(img_p),
+                         crop_size, t_pixeldim)
+
+
 def slice_spleen(source_dir: str, dest_dir: str, shape=(512, 512),
                  retain: int = 8, seed: int = 0) -> None:
     """Task09 Spleen CT volumes → 512x512 PNG tree

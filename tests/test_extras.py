@@ -107,3 +107,71 @@ class TestSlicers:
         assert get_frame("patient001_frame12_gt.nii.gz") == "12"
         with pytest.raises(ValueError):
             get_frame("nonsense.nii")
+
+
+class TestSpinSlicer:
+    def test_center_crop(self):
+        from dct_tpu.datapreprocessing import center_crop
+        x = np.arange(36).reshape(6, 6)
+        c = center_crop(x, (2, 2))
+        assert c.shape == (2, 2)
+        np.testing.assert_array_equal(c, x[2:4, 2:4])
+        # pad-when-smaller (torchvision F.center_crop semantics)
+        p = center_crop(x, (8, 8))
+        assert p.shape == (8, 8)
+        np.testing.assert_array_equal(p[1:7, 1:7], x)
+        assert p[0].sum() == 0
+
+    def test_resize_by_resolution(self):
+        from dct_tpu.datapreprocessing import resize_by_resolution
+        x = np.random.RandomState(0).randint(0, 255, (10, 10)).astype(np.uint8)
+        # 0.5mm voxels → 0.25mm target = 2x upsample
+        r = resize_by_resolution(x, (0.5, 0.5), (0.25, 0.25))
+        assert r.shape == (20, 20)
+
+    def test_save_spin_slices(self, tmp_path):
+        from dct_tpu.datapreprocessing import save_spin_slices
+        rs = np.random.RandomState(1)
+        img = rs.randint(0, 2000, (24, 24, 2)).astype(np.int16)
+        gt = (rs.rand(24, 24, 2) > 0.8).astype(np.uint8)
+        stems = save_spin_slices(img, gt, "site1-sc01-image",
+                                 tmp_path / "train", pixeldim=(0.5, 0.5),
+                                 crop_size=(32, 32),
+                                 gt_stem="site1-sc01-mask-r1")
+        assert stems == ["site1-sc01-image_0", "site1-sc01-image_1"]
+        assert (tmp_path / "train" / "img" / "site1-sc01-image_0.png").exists()
+        assert (tmp_path / "train" / "gt" / "site1-sc01-mask-r1_1.png").exists()
+        # unlabeled pool: no gt folder
+        save_spin_slices(img, None, "site2-sc05-image", tmp_path / "unlabeled",
+                         pixeldim=(0.5, 0.5), crop_size=(32, 32))
+        assert (tmp_path / "unlabeled" / "img" / "site2-sc05-image_0.png").exists()
+        assert not (tmp_path / "unlabeled" / "gt").exists()
+
+
+class TestCityscapesExtra:
+    def test_select_extra_data(self, tmp_path):
+        from PIL import Image
+        from dct_tpu.datapreprocessing.cityscapes_tools import (
+            gt_path_for, select_extra_data)
+        src = tmp_path / "extra"
+        for city, n in [("augsburg", 3), ("bayreuth", 2)]:
+            for i in range(n):
+                ip = src / "leftImg8bit" / "train_extra" / city / \
+                    f"{city}_{i:06d}_000019_leftImg8bit.png"
+                gp = gt_path_for(ip)
+                ip.parent.mkdir(parents=True, exist_ok=True)
+                gp.parent.mkdir(parents=True, exist_ok=True)
+                Image.new("RGB", (64, 32)).save(ip)
+                Image.new("L", (64, 32)).save(gp)
+        dst = tmp_path / "Cityscapes_extra"
+        n = select_extra_data(str(src), str(dst), n_images=4, size=(32, 16))
+        assert n == 4
+        imgs = list(dst.rglob("*_leftImg8bit.png"))
+        gts = list(dst.rglob("*_gtCoarse_labelIds.png"))
+        assert len(imgs) == 4 and len(gts) == 4
+        im = Image.open(imgs[0])
+        assert im.size == (32, 16)
+        # deterministic selection (np seed 1)
+        n2 = select_extra_data(str(src), str(tmp_path / "again"), 4, (32, 16))
+        assert sorted(p.name for p in (tmp_path / "again").rglob("*leftImg8bit.png")) \
+            == sorted(p.name for p in imgs)
