@@ -277,25 +277,27 @@ class CoTrainer:
         self.stacked_state, metrics = fn(
             self.stacked_state, self._lab_img_cat, self._lab_gt_cat,
             idx_lab, idx_unlab, pairs, key, lr, lam_cot, lam_adv)
-        train_time = time.time() - t0
+        # the jit dispatch is async — the np.asarray metric fetches below are
+        # what force completion, so time AFTER them (block_until_ready returns
+        # early on the axon platform, CLAUDE.md)
         n_images = idx_lab.size + (idx_unlab.size if (train_jsd or train_adv) else 0)
         if kind == "shard":
             # shard metrics are (T,K,...); adv slots are scaled so the sum
             # over the model axis reconstructs the per-iteration total
             lab_dice = np.asarray(metrics["lab_dice"])          # (T,K,B,C)
-            return {"lab_dice": lab_dice.transpose(1, 0, 2, 3).reshape(
+            out = {"lab_dice": lab_dice.transpose(1, 0, 2, 3).reshape(
                         self.K, -1, self.C).mean(1),
-                    "sup_loss": np.asarray(metrics["sup_loss"]).mean(0),
-                    "jsd_loss": float(np.mean(np.asarray(metrics["jsd_loss"]))),
-                    "adv_loss": float(np.sum(np.asarray(metrics["adv_loss"]), 1).mean()),
-                    "n_images": n_images, "train_time": train_time}
-        lab_dice = np.asarray(metrics["lab_dice"])              # (T,K,B,C)
-        return {"lab_dice": lab_dice.transpose(1, 0, 2, 3).reshape(
-                    self.K, -1, self.C).mean(1),
-                "sup_loss": np.asarray(metrics["sup_loss"]).mean(0),
-                "jsd_loss": float(np.mean(np.asarray(metrics["jsd_loss"]))),
-                "adv_loss": float(np.mean(np.asarray(metrics["adv_loss"]))),
-                "n_images": n_images, "train_time": train_time}
+                   "sup_loss": np.asarray(metrics["sup_loss"]).mean(0),
+                   "jsd_loss": float(np.mean(np.asarray(metrics["jsd_loss"]))),
+                   "adv_loss": float(np.sum(np.asarray(metrics["adv_loss"]), 1).mean())}
+        else:
+            lab_dice = np.asarray(metrics["lab_dice"])          # (T,K,B,C)
+            out = {"lab_dice": lab_dice.transpose(1, 0, 2, 3).reshape(
+                        self.K, -1, self.C).mean(1),
+                   "sup_loss": np.asarray(metrics["sup_loss"]).mean(0),
+                   "jsd_loss": float(np.mean(np.asarray(metrics["jsd_loss"]))),
+                   "adv_loss": float(np.mean(np.asarray(metrics["adv_loss"])))}
+        return {**out, "n_images": n_images, "train_time": time.time() - t0}
 
     def _unstack_model_states(self) -> List[Dict]:
         """Per-model {'params','batch_stats'} views (opt_state stays stacked)."""

@@ -181,3 +181,43 @@ class TestCityAugment:
         # per-10-epoch dumps: epoch 0 → iter000/eval/<model>/*.png
         dumps = list((tmp_path / "city_aug" / "iter000" / "eval").rglob("*.png"))
         assert dumps, "expected val prediction dumps at epoch 0"
+
+
+class TestCityResume:
+    def _build(self, city_root, run, max_epoch, checkpoint=None):
+        from dct_tpu.losses import get_loss_fn
+        from dct_tpu.models import Segmentator
+        from dct_tpu.train import CoTrainerCity
+
+        config = {"Dataset": {"root_dir": str(city_root),
+                              "image_size": (32, 32), "subsample": 1},
+                  "Lab_Partitions": {"num_models": 2, "partition_sets": 0.5,
+                                     "partition_overlap": 0.5},
+                  "Seed": 1}
+        labeled, unlab, val = get_cityscapes_split(config)
+        segs = [Segmentator({"name": "enet", "num_classes": NUM_CLASSES,
+                             "in_channels": 3}, ADAM, STEP,
+                            jax.random.PRNGKey(i), input_shape=(1, 32, 32, 3))
+                for i in range(2)]
+        return CoTrainerCity(
+            segs, labeled, unlab, val,
+            {"sup": get_loss_fn("cross_entropy", ignore_index=250),
+             "jsd": get_loss_fn("jsd"), "adv": get_loss_fn("jsd")},
+            max_epoch=max_epoch, save_dir=run, checkpoint=checkpoint,
+            adv_scheduler_dict={"name": "ConstantScheduler",
+                                "begin_epoch": 0, "max_value": 0.05},
+            cot_scheduler_dict={"name": "ConstantScheduler",
+                                "begin_epoch": 0, "max_value": 0.5},
+            adv_training_dict={"eplision": 0.03, "fsgm_ratio": 0.5},
+            batch_size=2, iters_per_epoch=2)
+
+    def test_city_resume_appends(self, city_root, tmp_path):
+        import pandas as pd
+        run = tmp_path / "city_resume"
+        self._build(city_root, run, 1).start_training(train_jsd=True)
+        ct2 = self._build(city_root, run, 2, checkpoint=str(run))
+        assert ct2.start_epoch == 1
+        df = ct2.start_training(train_jsd=True)
+        assert list(df["epoch"]) == [0, 1]
+        csv = pd.read_csv(run / ct2.metricname)
+        assert list(csv["epoch"]) == [0, 1]

@@ -1,0 +1,95 @@
+"""Float64 variant of the shard_map/vmap co-training parity test.
+
+test_shard_cotrain.py tolerates 2e-2 on params after 2 iterations, explained
+as fp32 non-associativity between the vmap path's grouped-conv lowering and
+the shard path's plain convs. This test pins that explanation: with float64
+params (and therefore float64 convs), the same two paths must agree to ~1e-6
+after the same two optimizer steps. Runs in a subprocess because
+JAX_ENABLE_X64 must be set before jax initializes.
+"""
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+def test_f64_parity_subprocess():
+    env = {**os.environ, "JAX_ENABLE_X64": "1", "RUN_X64_INNER": "1",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    res = subprocess.run(
+        [sys.executable, "-m", "pytest", __file__ + "::test_inner_f64",
+         "-q", "-p", "no:cacheprovider"],
+        env=env, capture_output=True, text=True, timeout=1500,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert res.returncode == 0, res.stdout + res.stderr
+
+
+@pytest.mark.skipif(os.environ.get("RUN_X64_INNER") != "1",
+                    reason="inner x64 test; run via test_f64_parity_subprocess")
+def test_inner_f64():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dct_tpu.losses import get_loss_fn
+    from dct_tpu.models import Segmentator, stack_states
+    from dct_tpu.parallel.mesh import make_mesh
+    from dct_tpu.parallel.shard_cotrain import make_shard_cotrain_epoch
+    from dct_tpu.train.steps import make_cotrain_epoch
+
+    assert jax.config.jax_enable_x64
+
+    H, B, Bu, T, K = 16, 2, 2, 2, 2
+    SGD = {"name": "SGD", "lr": 1e-2, "weight_decay": 0.0}
+    STEP = {"name": "StepLR", "step_size": 90, "gamma": 0.1}
+
+    segs = [Segmentator({"name": "enet", "num_classes": 4}, SGD, STEP,
+                        jax.random.PRNGKey(i), input_shape=(1, H, H, 1))
+            for i in range(K)]
+    seg = segs[0]
+
+    def to64(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float64)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+    st = stack_states([{"params": to64(s.state["params"]),
+                        "batch_stats": to64(s.state["batch_stats"])}
+                       for s in segs])
+    state_a = {"params": st["params"], "batch_stats": st["batch_stats"],
+               "opt_state": seg.tx.init(st["params"])}
+    state_b = jax.tree_util.tree_map(jnp.copy, state_a)
+
+    rs = np.random.RandomState(0)
+    N = 32
+    img = jnp.asarray(rs.randint(0, 255, (N, H, H), dtype=np.uint8))
+    gt = jnp.asarray(rs.randint(0, 4, (N, H, H)).astype(np.uint8))
+    idx_lab = rs.randint(0, N, (T, K, B)).astype(np.int32)
+    idx_unlab = rs.randint(0, N, (T, Bu)).astype(np.int32)
+    pairs = np.tile(np.array([0, 1], np.int32), (T, 1))
+    key = jax.random.PRNGKey(7)
+
+    vmap_fn = make_cotrain_epoch(seg, K, 4, get_loss_fn("cross_entropy"),
+                                 True, True, False, False, 0.03)
+    new_a, m_a = vmap_fn(state_a, img, gt, idx_lab, idx_unlab, pairs, key,
+                         1e-3, 0.5, 0.05)
+
+    mesh = make_mesh(2, n_model=2)
+    shard_fn = make_shard_cotrain_epoch(seg, mesh, K, 4,
+                                        get_loss_fn("cross_entropy"),
+                                        True, True, False, 0.03,
+                                        state_template=state_b)
+    new_b, m_b = shard_fn(state_b, img, gt, idx_lab, idx_unlab, pairs, key,
+                          1e-3, 0.5, 0.05)
+
+    np.testing.assert_allclose(np.asarray(m_a["sup_loss"]),
+                               np.asarray(m_b["sup_loss"]), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(m_a["jsd_loss"]),
+                               np.asarray(m_b["jsd_loss"])[:, 0], atol=1e-9)
+    worst = 0.0
+    for pa, pb in zip(jax.tree_util.tree_leaves(new_a["params"]),
+                      jax.tree_util.tree_leaves(new_b["params"])):
+        worst = max(worst, float(np.abs(np.asarray(pa) - np.asarray(pb)).max()))
+    assert worst < 1e-6, worst
+    print(f"f64 param parity after {T} steps: max|Δ| = {worst:.2e}")

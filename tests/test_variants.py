@@ -132,3 +132,59 @@ class TestSummary:
         assert hausdorff_distance(a, b) == 3.0
         assert hausdorff_distance(a, a) == 0.0
         assert np.isnan(hausdorff_distance(a, np.zeros((8, 8), bool)))
+
+
+class TestVariantResume:
+    """Resume-append coverage for the mean-teacher and VAT trainers
+    (Trainer/CoTrainer equivalents live in test_trainers.py)."""
+
+    def _mt(self, datasets, run, max_epoch, checkpoint=None):
+        lab, unlab, val = datasets
+        student = Segmentator(ARCH, ADAM, STEP, jax.random.PRNGKey(0),
+                              input_shape=(1, 32, 32, 1))
+        teacher = Segmentator(ARCH, ADAM, STEP, jax.random.PRNGKey(1),
+                              input_shape=(1, 32, 32, 1))
+        return MeanTeacherTrainer(
+            student, teacher, lab, unlab, val,
+            {"sup": get_loss_fn("cross_entropy"), "con": "mse"},
+            max_epoch=max_epoch, save_dir=run, axises=[1, 2, 3], batch_size=4,
+            checkpoint=checkpoint,
+            cot_scheduler_dict={"name": "RampScheduler", "begin_epoch": 0,
+                                "max_epoch": 80, "max_value": 1.0,
+                                "ramp_mult": -5})
+
+    def test_mean_teacher_resume_appends(self, datasets, tmp_path):
+        import pandas as pd
+        run = tmp_path / "mt_resume"
+        self._mt(datasets, run, 1).start_training()
+        mt2 = self._mt(datasets, run, 2, checkpoint=str(run / "last.ckpt"))
+        assert mt2.start_epoch == 1
+        df = mt2.start_training()
+        assert list(df["epoch"]) == [0, 1]
+        csv = pd.read_csv(run / mt2.metricname)
+        assert list(csv["epoch"]) == [0, 1]
+
+    def _vat(self, datasets, run, max_epoch, checkpoint=None):
+        lab, unlab, val = datasets
+        seg = Segmentator(ARCH, ADAM, STEP, jax.random.PRNGKey(0),
+                          input_shape=(1, 32, 32, 1))
+        return VatTrainer(seg, lab, unlab, val,
+                          get_loss_fn("cross_entropy"),
+                          max_epoch=max_epoch, save_dir=run, axises=[1, 2, 3],
+                          checkpoint=checkpoint,
+                          adv_scheduler_dict={"name": "ConstantScheduler",
+                                              "begin_epoch": 0,
+                                              "max_value": 0.05},
+                          adv_training_dict={"eplision": 2.0, "ip": 1},
+                          batch_size=4, iters_per_epoch=2)
+
+    def test_vat_resume_appends(self, datasets, tmp_path):
+        import pandas as pd
+        run = tmp_path / "vat_resume"
+        self._vat(datasets, run, 1).start_training(train_adv=True)
+        vt2 = self._vat(datasets, run, 2, checkpoint=str(run / "last.ckpt"))
+        assert vt2.start_epoch == 1
+        df = vt2.start_training(train_adv=True)
+        assert list(df["epoch"]) == [0, 1]
+        csv = pd.read_csv(run / vt2.metricname)
+        assert list(csv["epoch"]) == [0, 1]
