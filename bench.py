@@ -84,9 +84,31 @@ def main() -> None:
 
     images = (K * B + Bu) * T * calls
     ips = images / dt
-    print(json.dumps({"metric": "cotrain_images_per_sec_per_chip",
-                      "value": round(ips, 2), "unit": "images/sec",
-                      "vs_baseline": round(ips / TORCH_CPU_BASELINE_IPS, 2)}))
+
+    # ---- MFU: XLA-counted FLOPs of the compiled epoch vs the chip's bf16
+    # peak (v5e: 197 TFLOP/s). ENet's 13/16/32-channel stages keep this low
+    # by construction — the number quantifies how elementwise/HBM-bound the
+    # step is (BASELINE.md ablation).
+    mfu_pct = None
+    try:
+        idx_lab, idx_unlab, pairs = batch_idx()
+        cost = epoch_fn.lower(state, img_u8, gt_u8, idx_lab, idx_unlab,
+                              pairs, key, 1e-3, 0.5, 0.05) \
+                       .compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_call = float(cost.get("flops", 0.0))
+        if flops_per_call > 0:
+            mfu_pct = 100.0 * flops_per_call * calls / dt / 197e12
+    except Exception as e:  # cost analysis is backend-dependent
+        print(f"# cost_analysis unavailable: {e}")
+
+    out = {"metric": "cotrain_images_per_sec_per_chip",
+           "value": round(ips, 2), "unit": "images/sec",
+           "vs_baseline": round(ips / TORCH_CPU_BASELINE_IPS, 2)}
+    if mfu_pct is not None:
+        out["mfu_bf16_pct"] = round(mfu_pct, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -306,24 +306,21 @@ class CoTrainer:
                               self.K)
 
     def _eval_epoch(self, epoch: int, save: bool = False) -> Dict:
+        params = self.stacked_state["params"]
+        bstats = self.stacked_state["batch_stats"]
         if self.mesh is not None and self.mesh.shape.get("model", 1) > 1:
             # model-sharded state: the vmapped eval lowers to grouped convs
-            # GSPMD can't partition along 'model' — evaluate per model on
-            # gathered params instead
-            dice2d = np.zeros((self.K, self.C))
-            dice3d = np.zeros((self.K, self.C))
-            for s, st in enumerate(self._unstack_model_states()):
-                out = self.eval_all(st["params"], st["batch_stats"],
-                                    self.val_dev.img, self.val_dev.gt,
-                                    self._val_idx, self._val_mask)
-                d2 = np.asarray(out["dice2d"])
-                dice2d[s] = d2[self.val_buckets.mask].mean(0)
-                dice3d[s] = np.asarray(out["dice3d"]).mean(0)
-            return {"dice2d": dice2d, "dice3d": dice3d}
+            # GSPMD can't partition along 'model' — all-gather the (small)
+            # params to replicated once, then the SAME single-dispatch
+            # eval_all_models call below applies
+            from jax.sharding import NamedSharding, PartitionSpec
+            rep = NamedSharding(self.mesh, PartitionSpec())
+            params = jax.device_put(params, rep)
+            bstats = jax.device_put(bstats, rep)
         # all K models × all patient buckets in one jit call (the gather and
         # one-hot gt are shared across the vmapped model axis)
         out = self.eval_all_models(
-            self.stacked_state["params"], self.stacked_state["batch_stats"],
+            params, bstats,
             self.val_dev.img, self.val_dev.gt, self._val_idx, self._val_mask)
         d2 = np.asarray(out["dice2d"])              # (P,K,L,C)
         mask = self.val_buckets.mask                # (P,L) bool

@@ -122,6 +122,34 @@ def test_unet_logit_parity(ref_arch, bn):
     np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
 
 
+def test_deeplabv2_logit_parity(ref_arch):
+    """Validates torch_convert's deeplabv2 path (the COCO-init converter,
+    ref:trainer_city.py:56-66) against the actual reference module
+    (ref:generalframework/arch/deeplab/deeplabv2.py): random torch weights →
+    flax, OS8 logits must agree."""
+    import torch
+    from generalframework.arch.deeplab.deeplabv2 import DeepLabV2 as RefV2
+
+    from dct_tpu.utils.torch_convert import convert_deeplabv2
+
+    torch.manual_seed(5)
+    net = RefV2(num_classes=7)
+    conv = convert_deeplabv2(net.state_dict())
+
+    model = get_arch("deeplabv2", {"num_classes": 7})
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 65, 65, 3)),
+                           train=False)
+    variables = _merge_all(variables, conv)
+
+    rs = np.random.RandomState(6)
+    x = rs.randn(1, 3, 65, 65).astype(np.float32)
+    ref = _torch_logits(net, torch.from_numpy(x))
+    got = np.asarray(model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                 train=False))
+    assert got.shape == ref.shape    # (1, 9, 9, 7): OS8 ceil of 65
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
 def test_enet_sgd_step_parity(ref_arch):
     """One plain-SGD step on a CE loss: parameter agreement pins the whole
     backward pass (train-mode BN, PReLU, pool/unpool routing, deconvs).

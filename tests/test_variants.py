@@ -176,7 +176,7 @@ class TestVariantResume:
                                               "begin_epoch": 0,
                                               "max_value": 0.05},
                           adv_training_dict={"eplision": 2.0, "ip": 1},
-                          batch_size=4, iters_per_epoch=2)
+                          batch_size=4)
 
     def test_vat_resume_appends(self, datasets, tmp_path):
         import pandas as pd
