@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -34,16 +35,113 @@ def _act(use_relu: bool, x: jnp.ndarray, module: nn.Module, name: str) -> jnp.nd
     return PReLU(name=name)(x)
 
 
+def space_to_depth_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """(B,2m,2n,C) → (B,m,n,4C); block layout (sy,sx,c) so channel group
+    ``sy*2+sx`` holds the original pixel at in-block offset (sy,sx)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
+class _S2DConv(nn.Module):
+    """conv(C→F, 3x3, stride 2, pad 1) computed as a 2x2 conv over the
+    space-to-depth input — exact same math and the SAME (3,3,C,F) kernel
+    parameter, but 3.4x faster on-chip at 256x256 (bench_channel.py): the
+    direct form runs the MXU at 1-of-128 lane occupancy on C=1 medical
+    images; the s2d form quarters the spatial extent and packs the taps
+    into channels. The scattered 2x2 kernel is rebuilt from the canonical
+    3x3 parameter every call (36*F elements — free next to the conv)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, xs: jnp.ndarray) -> jnp.ndarray:
+        """xs is the ALREADY space-to-depth'd input, (B,m,n,4C)."""
+        cin = xs.shape[-1] // 4
+        kernel = self.param("kernel", conv_kernel_init,
+                            (3, 3, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        kernel = kernel.astype(xs.dtype)
+        # tap (dy,dx) ∈ {-1,0,1}² relative to output pixel (2i,2j) lives at
+        # s2d block (i + (dy<0 ? -1 : 0), ...) channel group sy*2+sx where
+        # sy = dy mod 2 of the original row — enumerate all 9 taps into a
+        # (2,2,4C,F) kernel (7*C of the 16C taps stay zero)
+        k = jnp.zeros((2, 2, 4 * cin, self.features), xs.dtype)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                br, sy = (0, dy) if dy >= 0 else (-1, 2 + dy)
+                bc, sx = (0, dx) if dx >= 0 else (-1, 2 + dx)
+                g = sy * 2 + sx
+                k = k.at[br + 1, bc + 1, g * cin:(g + 1) * cin, :].set(
+                    kernel[dy + 1, dx + 1])
+        out = jax.lax.conv_general_dilated(
+            xs, k, (1, 1), [(1, 0), (1, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out + bias.astype(xs.dtype)
+
+
+class _D2SConvTranspose3(nn.Module):
+    """ConvTranspose(k=3, s=2, torch pad=1/output_pad=1) as a 2x2 conv +
+    depth-to-space — exact same math and the SAME (3,3,C,F) kernel
+    parameter as the nn.ConvTranspose(padding=((1,2),(1,2))) it replaces.
+    Probe-verified mapping: out[2i+1-ky, 2j+1-kx] += x[i,j]·K[ky,kx], so
+    output subposition (sy,sx) reads x blocks (i+{0,1}, j+{0,1}) with the
+    9 taps scattered into a (2,2,C,4F) kernel."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        F = self.features
+        kernel = self.param("kernel", conv_kernel_init, (3, 3, cin, F))
+        bias = self.param("bias", nn.initializers.zeros_init(), (F,))
+        K = kernel.astype(x.dtype)
+        kk = jnp.zeros((2, 2, cin, 4 * F), x.dtype)
+
+        def sub(sy, sx):
+            return slice((sy * 2 + sx) * F, (sy * 2 + sx + 1) * F)
+
+        # sy=0 rows take only ky=1 (block row 0); sy=1 takes ky=0 (row 0)
+        # and ky=2 (row 1); mirrored for columns
+        kk = kk.at[0, 0, :, sub(0, 0)].set(K[1, 1])
+        kk = kk.at[0, 0, :, sub(0, 1)].set(K[1, 0])
+        kk = kk.at[0, 1, :, sub(0, 1)].set(K[1, 2])
+        kk = kk.at[0, 0, :, sub(1, 0)].set(K[0, 1])
+        kk = kk.at[1, 0, :, sub(1, 0)].set(K[2, 1])
+        kk = kk.at[0, 0, :, sub(1, 1)].set(K[0, 0])
+        kk = kk.at[0, 1, :, sub(1, 1)].set(K[0, 2])
+        kk = kk.at[1, 0, :, sub(1, 1)].set(K[2, 0])
+        kk = kk.at[1, 1, :, sub(1, 1)].set(K[2, 2])
+        y = jax.lax.conv_general_dilated(
+            x, kk, (1, 1), [(0, 1), (0, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        b, m, n, _ = y.shape
+        y = y.reshape(b, m, n, 2, 2, F).transpose(0, 1, 3, 2, 4, 5) \
+             .reshape(b, 2 * m, 2 * n, F)
+        return y + bias.astype(x.dtype)
+
+
 class InitialBlock(nn.Module):
     conv_features: int = 13
+    fast_paths: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        conv = nn.Conv(self.conv_features, (3, 3), strides=(2, 2),
-                       padding=((1, 1), (1, 1)), kernel_init=conv_kernel_init)(x)
+        if self.fast_paths:
+            xs = space_to_depth_2x2(x)
+            conv = _S2DConv(self.conv_features, name="Conv_0")(xs)
+            # 2x2 max pool == max over the 4 s2d in-block positions
+            b, m, n, c4 = xs.shape
+            pool = xs.reshape(b, m, n, 4, c4 // 4).max(axis=3)
+        else:
+            conv = nn.Conv(self.conv_features, (3, 3), strides=(2, 2),
+                           padding=((1, 1), (1, 1)),
+                           kernel_init=conv_kernel_init, name="Conv_0")(x)
+            pool = max_pool_2x2(x)
         conv = batch_norm(train)(conv)
         conv = PReLU()(conv)
-        pool = max_pool_2x2(x)
         return jnp.concatenate([conv, pool], axis=-1)
 
 
@@ -56,6 +154,7 @@ class BottleNeck(nn.Module):
     variant: str = "regular"          # regular | down | up | dilated | asym
     dilation_rate: int = 1
     use_relu: bool = False
+    fast_paths: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pool_mask: Optional[jnp.ndarray] = None,
@@ -81,9 +180,13 @@ class BottleNeck(nn.Module):
             # torch ConvTranspose2d(k=3, s=2, padding=1, output_padding=1)
             # pads the stride-dilated input (1, 2) per axis; lax's "SAME"
             # would pad (2, 1) — a one-pixel shift (ref:enet.py:98-99)
-            h = nn.ConvTranspose(internal, (3, 3), strides=(2, 2),
-                                 padding=((1, 2), (1, 2)),
-                                 kernel_init=conv_kernel_init, name="mid_deconv")(h)
+            if self.fast_paths:
+                h = _D2SConvTranspose3(internal, name="mid_deconv")(h)
+            else:
+                h = nn.ConvTranspose(internal, (3, 3), strides=(2, 2),
+                                     padding=((1, 2), (1, 2)),
+                                     kernel_init=conv_kernel_init,
+                                     name="mid_deconv")(h)
         elif self.variant == "dilated":
             d = self.dilation_rate
             h = nn.Conv(internal, (3, 3), padding=((d, d), (d, d)),
@@ -127,11 +230,46 @@ class BottleNeck(nn.Module):
         return out
 
 
+class _D2SConvTranspose(nn.Module):
+    """ConvTranspose(k=2, s=2, VALID) computed as a 1x1 matmul + depth-to-
+    space — exact same math and the SAME (2,2,C,F) kernel parameter as
+    flax's nn.ConvTranspose, but it never materializes a stride-dilated
+    256x256 conv input (the single most expensive op in the direct ENet
+    forward; bench_channel.py). Each output 2x2 block is just
+    x[i,j,:] @ K[dy,dx] + bias, so the 2x2/s2 transpose IS a reshape."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param("kernel", conv_kernel_init,
+                            (2, 2, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        b, m, n, _ = x.shape
+        # lax.conv_transpose applies the kernel spatially FLIPPED relative
+        # to the per-output-block matmul view (verified vs nn.ConvTranspose
+        # in tests/test_enet_fast_paths.py)
+        k = kernel.astype(x.dtype)[::-1, ::-1].transpose(2, 0, 1, 3) \
+            .reshape(cin, 4 * self.features)
+        y = (x.reshape(-1, cin) @ k).reshape(b, m, n, 2, 2, self.features)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * m, 2 * n,
+                                                  self.features)
+        return y + bias.astype(x.dtype)
+
+
 class Enet(nn.Module):
-    """Encoder-decoder ENet (ref:enet.py:234-243); returns (B,H,W,C) logits."""
+    """Encoder-decoder ENet (ref:enet.py:234-243); returns (B,H,W,C) logits.
+
+    ``fast_paths`` (default on) swaps the InitialBlock and the final
+    transposed conv for mathematically-exact space-to-depth / depth-to-
+    space formulations (same parameter tree, measurably faster on TPU —
+    see bench_channel.py and tests/test_enet_fast_paths.py)."""
 
     num_classes: int
     in_channels: int = 1   # kept for config self-description; inferred from x
+    fast_paths: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -139,30 +277,34 @@ class Enet(nn.Module):
             raise ValueError(
                 f"Enet needs H,W divisible by 8 (3 downsampling stages), got {x.shape[1:3]}")
         # ---------------- encoder (ref:enet.py:167-204, train=False) -------
-        h = InitialBlock(name="initial")(x, train)
+        h = InitialBlock(fast_paths=self.fast_paths, name="initial")(x, train)
         h, mask1 = BottleNeck(64, "down", name="bottleneck_1_0")(h, train=train)
         for i in range(4):
-            h = BottleNeck(64, "regular", name=f"bottleneck_1_{i+1}")(h, train=train)
+            h = BottleNeck(64, "regular", fast_paths=self.fast_paths, name=f"bottleneck_1_{i+1}")(h, train=train)
         h, mask2 = BottleNeck(128, "down", name="bottleneck_2_0")(h, train=train)
         idx = 1
         for _section in range(2):
             for variant, d in (("regular", 1), ("dilated", 2), ("asym", 1),
                                ("dilated", 4), ("regular", 1), ("dilated", 8),
                                ("asym", 1), ("dilated", 16)):
-                h = BottleNeck(128, variant, dilation_rate=d,
+                h = BottleNeck(128, variant, dilation_rate=d, fast_paths=self.fast_paths,
                                name=f"bottleneck_2_{idx}")(h, train=train)
                 idx += 1
 
         # ---------------- decoder (ref:enet.py:207-231) --------------------
-        h = BottleNeck(64, "up", use_relu=True, name="bottleneck_4_0")(
+        h = BottleNeck(64, "up", use_relu=True, fast_paths=self.fast_paths, name="bottleneck_4_0")(
             h, pool_mask=mask2, train=train)
-        h = BottleNeck(64, "regular", use_relu=True, name="bottleneck_4_1")(h, train=train)
-        h = BottleNeck(64, "regular", use_relu=True, name="bottleneck_4_2")(h, train=train)
-        h = BottleNeck(13 + x.shape[-1], "up", use_relu=True, name="bottleneck_5_0")(
+        h = BottleNeck(64, "regular", use_relu=True, fast_paths=self.fast_paths, name="bottleneck_4_1")(h, train=train)
+        h = BottleNeck(64, "regular", use_relu=True, fast_paths=self.fast_paths, name="bottleneck_4_2")(h, train=train)
+        h = BottleNeck(13 + x.shape[-1], "up", use_relu=True, fast_paths=self.fast_paths, name="bottleneck_5_0")(
             h, pool_mask=mask1, train=train)
-        h = BottleNeck(13 + x.shape[-1], "regular", use_relu=True,
+        h = BottleNeck(13 + x.shape[-1], "regular", use_relu=True, fast_paths=self.fast_paths,
                        name="bottleneck_5_1")(h, train=train)
-        logits = nn.ConvTranspose(self.num_classes, (2, 2), strides=(2, 2),
-                                  padding="VALID", kernel_init=conv_kernel_init,
-                                  name="fullconv")(h)
+        if self.fast_paths:
+            logits = _D2SConvTranspose(self.num_classes, name="fullconv")(h)
+        else:
+            logits = nn.ConvTranspose(self.num_classes, (2, 2), strides=(2, 2),
+                                      padding="VALID",
+                                      kernel_init=conv_kernel_init,
+                                      name="fullconv")(h)
         return logits

@@ -157,7 +157,13 @@ def make_shard_cotrain_epoch(seg: Segmentator, mesh: Mesh, K: int, C: int,
                                          "data")
                 bs = put_model_if(bs, bs2, a_loc, my == a_own)
 
-            total = supervised + lam_cot * jsd_loss + lam_adv * adv_loss
+            # jsd enters each of the n_model shard totals once, and the
+            # all_gather transpose SUMS the n_model identical cotangents
+            # into each shard's probs — scale by 1/n_model so the summed
+            # JSD gradient equals the joint (vmap) gradient exactly
+            # (pinned to 1e-6 by tests/test_shard_parity_f64.py)
+            total = (supervised + lam_cot * jsd_loss / n_model
+                     + lam_adv * adv_loss)
             return total, {"sup_each": sup_each, "jsd": jsd_loss,
                            "adv": adv_loss, "batch_stats": bs,
                            "lab_logits": lab_logits}

@@ -201,7 +201,9 @@ class CoTrainer:
         for epoch in range(self.start_epoch, self.max_epoch):
             t0 = time.time()
             train_m = self._train_epoch(epoch, epoch_fn, train_jsd, train_adv)
+            t_eval0 = time.time()
             val_m = self._eval_epoch(epoch, save_val)
+            t_eval = time.time() - t_eval0
             self._scheduler_step()
             elapsed = time.time() - t0
 
@@ -215,6 +217,11 @@ class CoTrainer:
             row["jsd_loss"] = train_m["jsd_loss"]
             row["adv_loss"] = train_m["adv_loss"]
             row["images_per_sec"] = train_m["n_images"] / max(train_m["train_time"], 1e-9)
+            # wall breakdown (VERDICT r1 asked for the epoch-tail profile):
+            # train scan / eval dispatch+fetch / everything else (csv, TB,
+            # checkpoint)
+            row["t_train"] = train_m["train_time"]
+            row["t_eval"] = t_eval
             records.append(row)
 
             df = pd.DataFrame(records).set_index("epoch")
@@ -249,7 +256,10 @@ class CoTrainer:
             print(f">> epoch {epoch}: val fg 3D dice "
                   + " ".join(f"S{s}:{current[s]:.4f}" for s in range(self.K))
                   + f"  jsd {train_m['jsd_loss']:.4f} adv {train_m['adv_loss']:.4f}"
-                  + f"  [{elapsed:.1f}s, {row['images_per_sec']:.0f} img/s]")
+                  + f"  [{elapsed:.1f}s = train {train_m['train_time']:.1f}"
+                  + f" + eval {t_eval:.1f} + host "
+                  + f"{elapsed - train_m['train_time'] - t_eval:.1f}; "
+                  + f"{row['images_per_sec']:.0f} img/s]")
         return pd.DataFrame(records)
 
     # ------------------------------------------------------------------

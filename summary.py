@@ -106,8 +106,15 @@ def main(argv=None) -> Dict[str, pd.DataFrame]:
     ds_cfg = dict(config["Dataset"])
     root = args.dataset_root or ds_cfg.pop("root_dir")
     ds_cfg.pop("root_dir", None)
-    ds_cfg.pop("name", None)
-    val_set = MedicalImageDataset(root, "val", **{**ds_cfg, "quite": True})
+    name = ds_cfg.pop("name", None)
+    if name == "gm":
+        # GM has no val/ folder — the val set is the site3/site4 slice of
+        # train (ref:GM_helper.py:34-60); rebuild it via the split builder
+        from dct_tpu.data.splits import get_gmc_split_datasets
+        cfg = {**config, "Dataset": {**config["Dataset"], "root_dir": root}}
+        _, _, val_set = get_gmc_split_datasets(cfg)
+    else:
+        val_set = MedicalImageDataset(root, "val", **{**ds_cfg, "quite": True})
     h, w = parse_transform_size(config["Dataset"].get("transform"))
 
     segs: List[Segmentator] = []

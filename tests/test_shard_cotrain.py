@@ -70,23 +70,32 @@ def test_parity_with_vmap_step(augment):
     # float noise; iteration 1 inherits fp32 non-associativity between the
     # vmap path's grouped-conv lowering and the shard path's plain convs
     # (measured: a SINGLE vmapped ENet forward differs from a direct apply by
-    # ~1e-4 in logits), amplified once through an SGD step.
+    # ~1e-4 in logits), amplified once through an SGD step. The same two
+    # steps agree to 1e-14 in float64 (tests/test_shard_parity_f64.py), so
+    # everything beyond that here is accumulation noise, not semantics —
+    # the f64 test is what caught (and now pins) the JSD all_gather
+    # double-count fixed in shard_cotrain.py.
     sup_a = np.asarray(m_a["sup_loss"])            # (T, K)
     sup_b = np.asarray(m_b["sup_loss"])            # (T, K)
     assert np.allclose(sup_a[0], sup_b[0], atol=2e-5), (sup_a[0], sup_b[0])
-    assert np.allclose(sup_a, sup_b, atol=5e-3), (sup_a, sup_b)
+    assert np.allclose(sup_a, sup_b, atol=2e-3), (sup_a, sup_b)
     jsd_a = np.asarray(m_a["jsd_loss"])
     jsd_b = np.asarray(m_b["jsd_loss"])[:, 0]
     assert np.allclose(jsd_a[0], jsd_b[0], atol=2e-5)
     assert np.allclose(jsd_a, jsd_b, atol=2e-3)
     adv_b = np.asarray(m_b["adv_loss"]).sum(1)     # model-axis sum = total
     assert np.allclose(np.asarray(m_a["adv_loss"])[0], adv_b[0], atol=2e-5)
+    # FGSM's sign(g) is discontinuous: ~1e-4 fp32 logit noise flips
+    # individual sign bits, so the adv term diverges DISCRETELY after the
+    # first iteration (the f64 test is the exactness pin; measured fp32
+    # worst case ~1.5e-3)
     assert np.allclose(np.asarray(m_a["adv_loss"]), adv_b, atol=5e-3)
 
-    # parameters after T SGD steps stay within the noise envelope
+    # parameters after T SGD steps stay within the fp32 noise envelope
+    # (sign-bit flips in the FGSM images perturb gradients discretely too)
     for pa, pb in zip(jax.tree_util.tree_leaves(new_a["params"]),
                       jax.tree_util.tree_leaves(new_b["params"])):
-        assert np.allclose(np.asarray(pa), np.asarray(pb), atol=2e-2), \
+        assert np.allclose(np.asarray(pa), np.asarray(pb), atol=5e-3), \
             np.abs(np.asarray(pa) - np.asarray(pb)).max()
 
 
