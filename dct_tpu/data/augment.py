@@ -79,6 +79,21 @@ def augment_batch(img: jnp.ndarray, gt: jnp.ndarray, key: jax.Array,
     im = img[..., 0] if squeeze_c else img
     b, h, w = im.shape
     thetas = sample_aug_thetas(key, b, h, w)
+    return augment_batch_with_thetas(img, gt, thetas, fast=fast, impl=impl)
+
+
+def augment_batch_with_thetas(img: jnp.ndarray, gt: jnp.ndarray,
+                              thetas: jnp.ndarray, fast: bool = True,
+                              impl: str = "gather"
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``augment_batch`` with the per-sample (B,2,3) thetas supplied by the
+    caller. Lets the co-training step warp all K labeled streams + the
+    unlabeled stream in ONE call while keeping each stream's PRNG draw
+    identical to separate ``augment_batch`` calls (each stream's thetas are
+    still sampled from its own key)."""
+    squeeze_c = img.ndim == 4
+    im = img[..., 0] if squeeze_c else img
+    b, h, w = im.shape
     if fast:
         stacked = jnp.stack([im, gt.astype(im.dtype)], axis=-1)   # (B,H,W,2)
         if impl == "shear":

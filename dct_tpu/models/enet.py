@@ -166,6 +166,9 @@ class BottleNeck(nn.Module):
         up = self.variant == "up"
 
         # --- bottleneck branch -------------------------------------------
+        # (an s2d-matmul rewrite of the down proj_in was measured SLOWER,
+        # 175.2 vs 180.3 img/s on the bench config — the strided 2x2 conv
+        # already lowers well; negative result recorded in BASELINE.md)
         stride = 2 if down else 1
         h = nn.Conv(internal, (stride, stride), strides=(stride, stride),
                     padding="VALID", use_bias=False,

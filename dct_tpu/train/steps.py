@@ -307,20 +307,47 @@ def make_cotrain_epoch(seg: Segmentator, K: int, C: int,
         def one_step(carry, xs):
             idx_lab_t, idx_unlab_t, pair, k = xs
 
-            # ---- gather + augment (on device, per model stream) ----------
-            def gather_lab(i):
-                img, gt = normalize_gather(img_u8, gt_u8, idx_lab_t[i])
-                if augment_labeled:
-                    img, gt = augment_batch(img, gt, jax.random.fold_in(k, i))
-                return img, gt
+            # ---- gather + augment (on device) ----------------------------
+            if augment_labeled and augment_unlabeled:
+                # fused: ONE gather + ONE warp for all K labeled streams +
+                # the unlabeled stream. Each stream's thetas still come from
+                # its own key (fold_in(k, i) / fold_in(k, 101)), so the
+                # augmentation draws are bit-identical to the separate
+                # augment_batch calls this replaces.
+                from ..data.augment import (augment_batch_with_thetas,
+                                            sample_aug_thetas)
+                B = idx_lab_t.shape[1]
+                Bu = idx_unlab_t.shape[0]
+                idx_all = jnp.concatenate(
+                    [idx_lab_t.reshape(-1), idx_unlab_t], axis=0)
+                img_all, gt_all = normalize_gather(img_u8, gt_u8, idx_all)
+                h, w = img_all.shape[1], img_all.shape[2]
+                thetas = jnp.concatenate(
+                    [sample_aug_thetas(jax.random.fold_in(k, i), B, h, w)
+                     for i in range(K)]
+                    + [sample_aug_thetas(jax.random.fold_in(k, 101), Bu, h, w)],
+                    axis=0)
+                img_all, gt_all = augment_batch_with_thetas(img_all, gt_all,
+                                                            thetas)
+                lab_img = img_all[:K * B].reshape((K, B) + img_all.shape[1:])
+                lab_gt = gt_all[:K * B].reshape((K, B) + gt_all.shape[1:])
+                unlab_img, unlab_gt = img_all[K * B:], gt_all[K * B:]
+            else:
+                def gather_lab(i):
+                    img, gt = normalize_gather(img_u8, gt_u8, idx_lab_t[i])
+                    if augment_labeled:
+                        img, gt = augment_batch(img, gt,
+                                                jax.random.fold_in(k, i))
+                    return img, gt
 
-            lab = [gather_lab(i) for i in range(K)]
-            lab_img = jnp.stack([x[0] for x in lab])   # (K,B,H,W,1)
-            lab_gt = jnp.stack([x[1] for x in lab])    # (K,B,H,W)
-            unlab_img, unlab_gt = normalize_gather(img_u8, gt_u8, idx_unlab_t)
-            if augment_unlabeled:
-                unlab_img, unlab_gt = augment_batch(unlab_img, unlab_gt,
-                                                    jax.random.fold_in(k, 101))
+                lab = [gather_lab(i) for i in range(K)]
+                lab_img = jnp.stack([x[0] for x in lab])   # (K,B,H,W,1)
+                lab_gt = jnp.stack([x[1] for x in lab])    # (K,B,H,W)
+                unlab_img, unlab_gt = normalize_gather(img_u8, gt_u8,
+                                                       idx_unlab_t)
+                if augment_unlabeled:
+                    unlab_img, unlab_gt = augment_batch(
+                        unlab_img, unlab_gt, jax.random.fold_in(k, 101))
 
             def total_loss(params_stack):
                 bs = carry["batch_stats"]

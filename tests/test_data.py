@@ -173,3 +173,47 @@ class TestAugment:
         # compare where bilinear didn't blend (interior of constant regions)
         agree = (np.round(np.asarray(img_a[..., 0])) == np.asarray(gt_a)).mean()
         assert agree > 0.9
+
+
+def test_fused_augment_matches_per_stream():
+    """The co-train step's fused gather+warp (steps.py one_step) must equal
+    the separate per-stream augment_batch calls bit-for-bit — each stream's
+    thetas come from the same fold_in key either way."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dct_tpu.data.augment import (augment_batch, augment_batch_with_thetas,
+                                      sample_aug_thetas)
+    from dct_tpu.data.pipeline import normalize_gather
+
+    rs = np.random.RandomState(0)
+    N, H, K, B, Bu = 40, 32, 2, 4, 4
+    img_u8 = jnp.asarray(rs.randint(0, 255, (N, H, H), np.uint8))
+    gt_u8 = jnp.asarray(rs.randint(0, 4, (N, H, H)).astype(np.uint8))
+    idx_lab = jnp.asarray(rs.randint(0, N, (K, B)).astype(np.int32))
+    idx_unlab = jnp.asarray(rs.randint(0, N, (Bu,)).astype(np.int32))
+    k = jax.random.PRNGKey(7)
+
+    outs = []
+    for i in range(K):
+        im, g = normalize_gather(img_u8, gt_u8, idx_lab[i])
+        outs.append(augment_batch(im, g, jax.random.fold_in(k, i)))
+    uim, ug = normalize_gather(img_u8, gt_u8, idx_unlab)
+    uout = augment_batch(uim, ug, jax.random.fold_in(k, 101))
+
+    idx_all = jnp.concatenate([idx_lab.reshape(-1), idx_unlab])
+    ia, ga = normalize_gather(img_u8, gt_u8, idx_all)
+    thetas = jnp.concatenate(
+        [sample_aug_thetas(jax.random.fold_in(k, i), B, H, H)
+         for i in range(K)]
+        + [sample_aug_thetas(jax.random.fold_in(k, 101), Bu, H, H)], 0)
+    ia, ga = augment_batch_with_thetas(ia, ga, thetas)
+
+    for i in range(K):
+        np.testing.assert_array_equal(np.asarray(outs[i][0]),
+                                      np.asarray(ia[i * B:(i + 1) * B]))
+        np.testing.assert_array_equal(np.asarray(outs[i][1]),
+                                      np.asarray(ga[i * B:(i + 1) * B]))
+    np.testing.assert_array_equal(np.asarray(uout[0]), np.asarray(ia[K * B:]))
+    np.testing.assert_array_equal(np.asarray(uout[1]), np.asarray(ga[K * B:]))
