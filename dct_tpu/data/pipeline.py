@@ -51,6 +51,45 @@ def normalize_gather(img_u8: jnp.ndarray, gt_u8: jnp.ndarray, idx: jnp.ndarray,
     return img, gt
 
 
+def warp_gather_normalize(img_u8: jnp.ndarray, gt_u8: jnp.ndarray,
+                          idx: jnp.ndarray, thetas: jnp.ndarray,
+                          dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``normalize_gather`` + nearest affine warp as ONE gather straight out
+    of the uint8 dataset array — the /255 normalization is per-pixel, so it
+    commutes with the warp exactly, and the (B,H,W) f32 intermediate the
+    two-step path materializes is never written. Grayscale (N,H,W) datasets
+    only (the medical pipeline); out-of-bounds pixels fill with 0 in both
+    image (post-normalize, like affine_warp's fill=0.0) and labels.
+
+    Exactness vs normalize_gather→augment_batch_with_thetas is pinned by
+    tests/test_data.py::test_warp_gather_normalize_exact. NOTE: measured
+    SLOWER than the two-step path in the co-train hot loop (148.4 vs 180.3
+    img/s on the bench config — arbitrary indices into the ~110M-element
+    dataset array lose the per-image gather's locality), so the step keeps
+    the two-step path; this stays available for small device arrays."""
+    from ..ops.warp import _grid
+    assert img_u8.ndim == 3, "fused warp-gather supports grayscale (N,H,W)"
+    n, h, w = img_u8.shape
+    assert n * h * w < 2 ** 31, "flat index would overflow int32"
+    yy, xx = _grid(h, w)
+
+    def coords(theta):
+        sy = theta[0, 0] * yy + theta[0, 1] * xx + theta[0, 2] + (h - 1) / 2.0
+        sx = theta[1, 0] * yy + theta[1, 1] * xx + theta[1, 2] + (w - 1) / 2.0
+        iy = jnp.round(sy).astype(jnp.int32)
+        ix = jnp.round(sx).astype(jnp.int32)
+        valid = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
+        return jnp.clip(iy, 0, h - 1), jnp.clip(ix, 0, w - 1), valid
+
+    iy, ix, valid = jax.vmap(coords)(thetas)                  # (B,H,W)
+    flat = (idx[:, None, None] * h + iy) * w + ix
+    img = jnp.take(img_u8.reshape(-1), flat, axis=0).astype(dtype) / 255.0
+    img = jnp.where(valid, img, 0.0)[..., None]
+    gt = jnp.take(gt_u8.reshape(-1), flat, axis=0).astype(jnp.int32)
+    gt = jnp.where(valid, gt, 0)
+    return img, gt
+
+
 class EpochBatcher:
     """Shuffled, drop-last batch indices for one pass (torch DataLoader parity)."""
 

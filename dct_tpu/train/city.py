@@ -302,7 +302,11 @@ class CoTrainerCity:
                 jax.random.fold_in(self.root_key, epoch),
                 self.seg.lr(epoch), self.cot_scheduler.value,
                 self.adv_scheduler.value)
+            np.asarray(m["sup_loss"])          # force the async epoch
+            t_train = time.time() - t0
+            t_eval0 = time.time()
             val = self._eval_epoch()
+            t_eval = time.time() - t_eval0
             if save_val and epoch % 10 == 0:
                 # per-10-epoch prediction dumps (ref:cotraining_city.py:150)
                 self._save_val_predictions(epoch)
@@ -317,7 +321,10 @@ class CoTrainerCity:
                    **{f"sup_loss_{s}": float(np.asarray(m["sup_loss"]).mean(0)[s])
                       for s in range(self.K)},
                    "jsd_loss": float(np.mean(np.asarray(m["jsd_loss"]))),
-                   "adv_loss": float(np.mean(np.asarray(m["adv_loss"])))}
+                   "adv_loss": float(np.mean(np.asarray(m["adv_loss"]))),
+                   "images_per_sec": (idx_lab.size + idx_unlab.size)
+                   / max(t_train, 1e-9),
+                   "t_train": t_train, "t_eval": t_eval}
             records.append(row)
             pd.DataFrame(records).set_index("epoch").to_csv(
                 self.save_dir / self.metricname, float_format="%.4f")

@@ -189,7 +189,11 @@ class MeanTeacherTrainer:
                                           idx_lab, idx_unlab, key,
                                           self.student.lr(epoch),
                                           self.con_scheduler.value)
+            np.asarray(m["sup_loss"])          # force the async epoch
+            t_train = time.time() - t0
+            t_eval0 = time.time()
             val = self._eval_epoch()
+            t_eval = time.time() - t_eval0
             self.student.scheduler_step()
             self.con_scheduler.step()
 
@@ -201,7 +205,9 @@ class MeanTeacherTrainer:
                    **{f"tra_teacher_dice_{i}": np.asarray(m["teacher_dice"]).reshape(
                        -1, self.C).mean(0)[i] for i in self.axises},
                    **{f"val_teacher_2d_dice_{i}": val["dice2d"][i] for i in self.axises},
-                   **{f"val_teacher_3d_dice_{i}": val["dice3d"][i] for i in self.axises}}
+                   **{f"val_teacher_3d_dice_{i}": val["dice3d"][i] for i in self.axises},
+                   "images_per_sec": (idx_lab.size + idx_unlab.size) / max(t_train, 1e-9),
+                   "t_train": t_train, "t_eval": t_eval}
             records.append(row)
             pd.DataFrame(records).set_index("epoch").to_csv(
                 self.save_dir / self.metricname, float_format="%.4f")

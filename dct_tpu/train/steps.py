@@ -314,6 +314,11 @@ def make_cotrain_epoch(seg: Segmentator, K: int, C: int,
                 # its own key (fold_in(k, i) / fold_in(k, 101)), so the
                 # augmentation draws are bit-identical to the separate
                 # augment_batch calls this replaces.
+                # (folding the warp into ONE gather straight out of the u8
+                # dataset — pipeline.warp_gather_normalize — measured 148.4
+                # vs 180.3 img/s: arbitrary indices into the 110M-element
+                # array lose the per-image gather's locality; negative
+                # result, two-step kept)
                 from ..data.augment import (augment_batch_with_thetas,
                                             sample_aug_thetas)
                 B = idx_lab_t.shape[1]

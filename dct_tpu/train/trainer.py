@@ -88,7 +88,9 @@ class Trainer:
         for epoch in range(self.start_epoch, self.max_epoch):
             t0 = time.time()
             train_metrics = self._train_epoch(epoch, augment_labeled_data)
+            t_eval0 = time.time()
             val_metrics = self._eval_epoch(epoch, save_val)
+            t_eval = time.time() - t_eval0
             self.segmentator.scheduler_step()
             step_time = time.time() - t0
 
@@ -102,7 +104,9 @@ class Trainer:
                    "train_loss": train_metrics["loss"],
                    "val_loss": val_metrics["loss"],
                    "images_per_sec": train_metrics["n_images"] / max(
-                       train_metrics["train_time"], 1e-9)}
+                       train_metrics["train_time"], 1e-9),
+                   "t_train": train_metrics["train_time"],
+                   "t_eval": t_eval}
             records.append(row)
             df = pd.DataFrame(records).set_index("epoch")
             df.to_csv(self.save_dir / self.metricname, float_format="%.4f")

@@ -175,7 +175,11 @@ class VatTrainer:
                 jax.random.fold_in(self.root_key, epoch),
                 self.segmentator.lr(epoch), lam)
             self.segmentator.state = new_state
+            np.asarray(m["sup_loss"])          # force the async epoch
+            t_train = time.time() - t0
+            t_eval0 = time.time()
             val = self._eval_epoch()
+            t_eval = time.time() - t_eval0
             self.segmentator.scheduler_step()
             self.adv_scheduler.step()
 
@@ -185,7 +189,10 @@ class VatTrainer:
                    **{f"tra_dice_{i}": np.asarray(m["dice"]).reshape(-1, self.C).mean(0)[i]
                       for i in self.axises},
                    **{f"val_dice_{i}": val["dice2d"][i] for i in self.axises},
-                   **{f"val_batch_dice_{i}": val["dice3d"][i] for i in self.axises}}
+                   **{f"val_batch_dice_{i}": val["dice3d"][i] for i in self.axises},
+                   "images_per_sec": (idx_lab.size + (idx_unlab.size if adv_on else 0))
+                   / max(t_train, 1e-9),
+                   "t_train": t_train, "t_eval": t_eval}
             records.append(row)
             pd.DataFrame(records).set_index("epoch").to_csv(
                 self.save_dir / self.metricname, float_format="%.4f")

@@ -217,3 +217,28 @@ def test_fused_augment_matches_per_stream():
                                       np.asarray(ga[i * B:(i + 1) * B]))
     np.testing.assert_array_equal(np.asarray(uout[0]), np.asarray(ia[K * B:]))
     np.testing.assert_array_equal(np.asarray(uout[1]), np.asarray(ga[K * B:]))
+
+
+def test_warp_gather_normalize_exact():
+    """The one-gather dataset warp must equal gather→normalize→warp exactly
+    (the /255 normalization is per-pixel, so it commutes with nearest
+    resampling; fills match in normalized space)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dct_tpu.data.augment import augment_batch_with_thetas, sample_aug_thetas
+    from dct_tpu.data.pipeline import normalize_gather, warp_gather_normalize
+
+    rs = np.random.RandomState(1)
+    N, H = 30, 32
+    img_u8 = jnp.asarray(rs.randint(0, 255, (N, H, H), np.uint8))
+    gt_u8 = jnp.asarray(rs.randint(0, 4, (N, H, H)).astype(np.uint8))
+    idx = jnp.asarray(rs.randint(0, N, (12,)).astype(np.int32))
+    thetas = sample_aug_thetas(jax.random.PRNGKey(3), 12, H, H)
+
+    im_a, gt_a = normalize_gather(img_u8, gt_u8, idx)
+    im_a, gt_a = augment_batch_with_thetas(im_a, gt_a, thetas)
+    im_b, gt_b = warp_gather_normalize(img_u8, gt_u8, idx, thetas)
+    np.testing.assert_array_equal(np.asarray(gt_a), np.asarray(gt_b))
+    np.testing.assert_allclose(np.asarray(im_a), np.asarray(im_b), atol=1e-7)
