@@ -159,7 +159,8 @@ class CoTrainer:
             else:
                 fn = make_cotrain_epoch(
                     self.seg, self.K, self.C, self.criterions["sup"],
-                    train_jsd, train_adv, aug_lab, aug_unlab, self.eps_fgsm)
+                    train_jsd, train_adv, aug_lab, aug_unlab, self.eps_fgsm,
+                    fuse_aug=not self._dp_only)
                 self._epoch_fns[sig] = ("vmap", fn)
         return self._epoch_fns[sig]
 

@@ -258,7 +258,8 @@ def make_cotrain_epoch(seg: Segmentator, K: int, C: int,
                        sup_loss: Callable,
                        train_jsd: bool, train_adv: bool,
                        augment_labeled: bool, augment_unlabeled: bool,
-                       eps_fgsm: float = 0.03) -> Callable:
+                       eps_fgsm: float = 0.03,
+                       fuse_aug: bool = True) -> Callable:
     """Build the jitted co-training epoch.
 
     ``epoch(stacked_state, img_u8, gt_u8, idx_lab (T,K,B), idx_unlab (T,Bu),
@@ -308,7 +309,12 @@ def make_cotrain_epoch(seg: Segmentator, K: int, C: int,
             idx_lab_t, idx_unlab_t, pair, k = xs
 
             # ---- gather + augment (on device) ----------------------------
-            if augment_labeled and augment_unlabeled:
+            # fuse_aug=False under a GSPMD-DP mesh: the fused reshape merges
+            # the replicated model axis into the data-sharded batch axis,
+            # which the partitioner mis-shards (it tries to split the
+            # vmapped grouped convs along feature groups); the per-stream
+            # path below partitions cleanly
+            if augment_labeled and augment_unlabeled and fuse_aug:
                 # fused: ONE gather + ONE warp for all K labeled streams +
                 # the unlabeled stream. Each stream's thetas still come from
                 # its own key (fold_in(k, i) / fold_in(k, 101)), so the
