@@ -82,6 +82,27 @@ def augment_batch(img: jnp.ndarray, gt: jnp.ndarray, key: jax.Array,
     return augment_batch_with_thetas(img, gt, thetas, fast=fast, impl=impl)
 
 
+def augment_u8_with_thetas(img_u8: jnp.ndarray, gt_u8: jnp.ndarray,
+                           thetas: jnp.ndarray, dtype=jnp.float32
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Nearest-warp a gathered uint8 batch (img (B,H,W) u8, gt (B,H,W) u8)
+    jointly, THEN normalize — the warp gather moves 2 bytes/pixel instead of
+    the 8-byte f32 img+gt stack ``augment_batch_with_thetas`` builds.
+
+    Bit-identical to ``normalize_gather`` → ``augment_batch_with_thetas
+    (fast=True)``: a nearest warp is a per-pixel permutation-with-fill, so it
+    commutes exactly with the per-pixel /255 normalize, and u8 values
+    round-trip f32 casts exactly (pinned by
+    tests/test_data.py::test_augment_u8_matches_f32_path).
+    Returns ((B,H,W,1) ``dtype`` image in [0,1], (B,H,W) int32 labels).
+    """
+    stacked = jnp.stack([img_u8, gt_u8], axis=-1)            # (B,H,W,2) u8
+    out = jax.vmap(affine_warp, in_axes=(0, 0, None, None))(
+        stacked, thetas, "nearest", 0)
+    img = (out[..., 0].astype(dtype) / 255.0)[..., None]
+    return img, out[..., 1].astype(jnp.int32)
+
+
 def augment_batch_with_thetas(img: jnp.ndarray, gt: jnp.ndarray,
                               thetas: jnp.ndarray, fast: bool = True,
                               impl: str = "gather"

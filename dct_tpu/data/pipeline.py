@@ -51,6 +51,27 @@ def normalize_gather(img_u8: jnp.ndarray, gt_u8: jnp.ndarray, idx: jnp.ndarray,
     return img, gt
 
 
+def gather_augment_u8(img_u8: jnp.ndarray, gt_u8: jnp.ndarray,
+                      idx: jnp.ndarray, key, dtype=jnp.float32
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``normalize_gather`` + ``augment_batch`` with the warp on uint8:
+    gather the batch as u8, nearest-warp img+gt jointly (2 B/px through the
+    warp gather instead of the 8 B/px f32 stack), normalize after.
+    Bit-identical draws and outputs to normalize_gather→augment_batch(key)
+    (the thetas come from the same key; the nearest warp commutes with the
+    per-pixel /255). Grayscale (N,H,W) datasets only — falls back to the
+    f32 path for channeled data."""
+    from .augment import augment_batch, augment_u8_with_thetas, sample_aug_thetas
+    if img_u8.ndim != 3:
+        img, gt = normalize_gather(img_u8, gt_u8, idx, dtype)
+        return augment_batch(img, gt, key)
+    b = idx.shape[0]
+    h, w = img_u8.shape[1], img_u8.shape[2]
+    thetas = sample_aug_thetas(key, b, h, w)
+    return augment_u8_with_thetas(jnp.take(img_u8, idx, axis=0),
+                                  jnp.take(gt_u8, idx, axis=0), thetas, dtype)
+
+
 def warp_gather_normalize(img_u8: jnp.ndarray, gt_u8: jnp.ndarray,
                           idx: jnp.ndarray, thetas: jnp.ndarray,
                           dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -63,7 +63,10 @@ def affine_warp(img: jnp.ndarray, theta: jnp.ndarray, method: str = "bilinear",
         iyc = jnp.clip(iy, 0, h - 1)
         ixc = jnp.clip(ix, 0, w - 1)
         vals = jnp.take(flat, iyc * w + ixc, axis=0)
-        return jnp.where(valid.reshape(h, w, 1), vals.reshape(h, w, c), fill)
+        # cast fill to the image dtype so integer (e.g. uint8) warps stay
+        # integer instead of being promoted to f32 by the where
+        return jnp.where(valid.reshape(h, w, 1), vals.reshape(h, w, c),
+                         jnp.asarray(fill, img.dtype))
 
     if method == "nearest":
         out = gather(jnp.round(sy).astype(jnp.int32), jnp.round(sx).astype(jnp.int32))

@@ -33,8 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..data.augment import augment_batch
-from ..data.pipeline import normalize_gather
+from ..data.pipeline import gather_augment_u8, normalize_gather
 from ..losses import jsd_2d, kl_div_2d
 from ..models.segmentator import Segmentator
 from ..optim import apply_direction
@@ -84,20 +83,22 @@ def make_shard_cotrain_epoch(seg: Segmentator, mesh: Mesh, K: int, C: int,
 
         lab = []
         for j in range(K_local):
-            im, g = normalize_gather(img_u8, gt_u8, idx_lab_l[j])
             if augment:
                 # augmentation key keyed on the GLOBAL model id, matching the
-                # vmap path's per-model streams
-                im, g = augment_batch(im, g,
-                                      jax.random.fold_in(k, my * K_local + j))
+                # vmap path's per-model streams; u8-warp fast path is
+                # bit-identical to normalize_gather->augment_batch
+                im, g = gather_augment_u8(img_u8, gt_u8, idx_lab_l[j],
+                                          jax.random.fold_in(k, my * K_local + j))
+            else:
+                im, g = normalize_gather(img_u8, gt_u8, idx_lab_l[j])
             lab.append((im, g))
         lab_img = jnp.stack([x[0] for x in lab])      # (K_local, B_l, H, W, 1)
         lab_gt = jnp.stack([x[1] for x in lab])       # (K_local, B_l, H, W)
-        unlab_img, _ = normalize_gather(img_u8, gt_u8, idx_unlab_l)
         if augment:
-            unlab_img, _ = augment_batch(
-                unlab_img, jnp.zeros(unlab_img.shape[:3], jnp.int32),
-                jax.random.fold_in(k, 101))
+            unlab_img, _ = gather_augment_u8(img_u8, gt_u8, idx_unlab_l,
+                                             jax.random.fold_in(k, 101))
+        else:
+            unlab_img, _ = normalize_gather(img_u8, gt_u8, idx_unlab_l)
 
         def total_loss(params):
             bs = carry["batch_stats"]

@@ -32,8 +32,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from ..data.augment import augment_batch
-from ..data.pipeline import normalize_gather
+from ..data.pipeline import gather_augment_u8, normalize_gather
 from ..losses import jsd_2d, kl_div_2d
 from ..models.segmentator import Segmentator
 from ..optim import apply_direction
@@ -72,9 +71,10 @@ def make_supervised_epoch(seg: Segmentator, loss_fn: Callable, C: int,
     def epoch(state, img_u8, gt_u8, idx, key, lr):
         def one_step(carry, xs):
             batch_idx, k = xs
-            img, gt = normalize_gather(img_u8, gt_u8, batch_idx)
             if augment:
-                img, gt = augment_batch(img, gt, k)
+                img, gt = gather_augment_u8(img_u8, gt_u8, batch_idx, k)
+            else:
+                img, gt = normalize_gather(img_u8, gt_u8, batch_idx)
 
             def loss_of(params):
                 logits, new_bs = seg.apply_train(
@@ -325,40 +325,44 @@ def make_cotrain_epoch(seg: Segmentator, K: int, C: int,
                 # vs 180.3 img/s: arbitrary indices into the 110M-element
                 # array lose the per-image gather's locality; negative
                 # result, two-step kept)
-                from ..data.augment import (augment_batch_with_thetas,
+                from ..data.augment import (augment_u8_with_thetas,
                                             sample_aug_thetas)
                 B = idx_lab_t.shape[1]
                 Bu = idx_unlab_t.shape[0]
                 idx_all = jnp.concatenate(
                     [idx_lab_t.reshape(-1), idx_unlab_t], axis=0)
-                img_all, gt_all = normalize_gather(img_u8, gt_u8, idx_all)
-                h, w = img_all.shape[1], img_all.shape[2]
+                img_all_u8 = jnp.take(img_u8, idx_all, axis=0)
+                gt_all_u8 = jnp.take(gt_u8, idx_all, axis=0)
+                h, w = img_all_u8.shape[1], img_all_u8.shape[2]
                 thetas = jnp.concatenate(
                     [sample_aug_thetas(jax.random.fold_in(k, i), B, h, w)
                      for i in range(K)]
                     + [sample_aug_thetas(jax.random.fold_in(k, 101), Bu, h, w)],
                     axis=0)
-                img_all, gt_all = augment_batch_with_thetas(img_all, gt_all,
-                                                            thetas)
+                # warp on uint8 (2 B/px through the gather vs the 8 B/px f32
+                # img+gt stack), normalize after — bit-identical, see
+                # augment_u8_with_thetas
+                img_all, gt_all = augment_u8_with_thetas(img_all_u8,
+                                                         gt_all_u8, thetas)
                 lab_img = img_all[:K * B].reshape((K, B) + img_all.shape[1:])
                 lab_gt = gt_all[:K * B].reshape((K, B) + gt_all.shape[1:])
                 unlab_img, unlab_gt = img_all[K * B:], gt_all[K * B:]
             else:
                 def gather_lab(i):
-                    img, gt = normalize_gather(img_u8, gt_u8, idx_lab_t[i])
                     if augment_labeled:
-                        img, gt = augment_batch(img, gt,
-                                                jax.random.fold_in(k, i))
-                    return img, gt
+                        return gather_augment_u8(img_u8, gt_u8, idx_lab_t[i],
+                                                 jax.random.fold_in(k, i))
+                    return normalize_gather(img_u8, gt_u8, idx_lab_t[i])
 
                 lab = [gather_lab(i) for i in range(K)]
                 lab_img = jnp.stack([x[0] for x in lab])   # (K,B,H,W,1)
                 lab_gt = jnp.stack([x[1] for x in lab])    # (K,B,H,W)
-                unlab_img, unlab_gt = normalize_gather(img_u8, gt_u8,
-                                                       idx_unlab_t)
                 if augment_unlabeled:
-                    unlab_img, unlab_gt = augment_batch(
-                        unlab_img, unlab_gt, jax.random.fold_in(k, 101))
+                    unlab_img, unlab_gt = gather_augment_u8(
+                        img_u8, gt_u8, idx_unlab_t, jax.random.fold_in(k, 101))
+                else:
+                    unlab_img, unlab_gt = normalize_gather(img_u8, gt_u8,
+                                                           idx_unlab_t)
 
             def total_loss(params_stack):
                 bs = carry["batch_stats"]

@@ -25,9 +25,9 @@ import pandas as pd
 from ..adversarial import vat_perturbation
 from ..checkpoint import load_checkpoint, save_checkpoint
 from ..config import save_yaml
-from ..data.augment import augment_batch
 from ..data.dataset import MedicalImageDataset
-from ..data.pipeline import DeviceDataset, InfiniteBatcher, PatientBuckets, normalize_gather
+from ..data.pipeline import (DeviceDataset, InfiniteBatcher, PatientBuckets,
+                             gather_augment_u8, normalize_gather)
 from ..losses import kl_div_2d
 from ..models.segmentator import Segmentator
 from ..optim import apply_direction
@@ -45,9 +45,11 @@ def make_vat_epoch(seg: Segmentator, sup_loss: Callable, C: int,
     def epoch(state, img_u8, gt_u8, idx_lab, idx_unlab, key, lr, lam_adv):
         def one_step(carry, xs):
             idx_l, idx_u, k = xs
-            img, gt = normalize_gather(img_u8, gt_u8, idx_l)
             if augment_labeled:
-                img, gt = augment_batch(img, gt, jax.random.fold_in(k, 0))
+                img, gt = gather_augment_u8(img_u8, gt_u8, idx_l,
+                                            jax.random.fold_in(k, 0))
+            else:
+                img, gt = normalize_gather(img_u8, gt_u8, idx_l)
 
             def loss_of(params):
                 bs = carry["batch_stats"]
@@ -55,10 +57,11 @@ def make_vat_epoch(seg: Segmentator, sup_loss: Callable, C: int,
                 sup = sup_loss(logits, gt)
                 adv = jnp.zeros((), logits.dtype)
                 if train_adv:
-                    u_img, u_gt = normalize_gather(img_u8, gt_u8, idx_u)
                     if augment_unlabeled:
-                        u_img, u_gt = augment_batch(u_img, u_gt,
-                                                    jax.random.fold_in(k, 1))
+                        u_img, u_gt = gather_augment_u8(
+                            img_u8, gt_u8, idx_u, jax.random.fold_in(k, 1))
+                    else:
+                        u_img, u_gt = normalize_gather(img_u8, gt_u8, idx_u)
                     adv_img, _, bs = vat_perturbation(
                         seg.apply_train, params, bs, u_img,
                         jax.random.fold_in(k, 2), xi=xi, epsilon=eps, ip=ip)

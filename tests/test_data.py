@@ -242,3 +242,31 @@ def test_warp_gather_normalize_exact():
     im_b, gt_b = warp_gather_normalize(img_u8, gt_u8, idx, thetas)
     np.testing.assert_array_equal(np.asarray(gt_a), np.asarray(gt_b))
     np.testing.assert_allclose(np.asarray(im_a), np.asarray(im_b), atol=1e-7)
+
+
+def test_augment_u8_matches_f32_path():
+    """The uint8-warp fast path (warp the gathered u8 batch, normalize
+    after) must be bit-identical to normalize→f32-stack→warp: the nearest
+    warp is a per-pixel permutation-with-fill, so it commutes with /255."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dct_tpu.data.augment import (augment_batch_with_thetas,
+                                      augment_u8_with_thetas,
+                                      sample_aug_thetas)
+    from dct_tpu.data.pipeline import normalize_gather
+
+    rs = np.random.RandomState(2)
+    N, H = 30, 32
+    img_u8 = jnp.asarray(rs.randint(0, 256, (N, H, H), np.uint8))
+    gt_u8 = jnp.asarray(rs.randint(0, 4, (N, H, H)).astype(np.uint8))
+    idx = jnp.asarray(rs.randint(0, N, (12,)).astype(np.int32))
+    thetas = sample_aug_thetas(jax.random.PRNGKey(5), 12, H, H)
+
+    im_a, gt_a = normalize_gather(img_u8, gt_u8, idx)
+    im_a, gt_a = augment_batch_with_thetas(im_a, gt_a, thetas)
+    im_b, gt_b = augment_u8_with_thetas(jnp.take(img_u8, idx, axis=0),
+                                        jnp.take(gt_u8, idx, axis=0), thetas)
+    np.testing.assert_array_equal(np.asarray(gt_a), np.asarray(gt_b))
+    np.testing.assert_array_equal(np.asarray(im_a), np.asarray(im_b))
