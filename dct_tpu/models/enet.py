@@ -268,41 +268,53 @@ class Enet(nn.Module):
     ``fast_paths`` (default on) swaps the InitialBlock and the final
     transposed conv for mathematically-exact space-to-depth / depth-to-
     space formulations (same parameter tree, measurably faster on TPU —
-    see bench_channel.py and tests/test_enet_fast_paths.py)."""
+    see bench_channel.py and tests/test_enet_fast_paths.py).
+
+    ``remat`` (default off, ``Arch.remat=True`` in configs) wraps every
+    bottleneck in ``jax.checkpoint``: activations are recomputed in the
+    backward pass instead of stored, trading ~1 extra forward of FLOPs for
+    an O(depth) cut in live activation memory. Identical parameter tree,
+    outputs, and gradients (tests/test_enet_fast_paths.py::test_remat_
+    matches). Intended for large-resolution configs (512²+) where the
+    default step's activation footprint is the binding constraint."""
 
     num_classes: int
     in_channels: int = 1   # kept for config self-description; inferred from x
     fast_paths: bool = True
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         if x.shape[1] % 8 or x.shape[2] % 8:
             raise ValueError(
                 f"Enet needs H,W divisible by 8 (3 downsampling stages), got {x.shape[1:3]}")
+        # static_argnums=(3,): the ``train`` flag (0 is the module itself)
+        Block = (nn.remat(BottleNeck, static_argnums=(3,)) if self.remat
+                 else BottleNeck)
         # ---------------- encoder (ref:enet.py:167-204, train=False) -------
         h = InitialBlock(fast_paths=self.fast_paths, name="initial")(x, train)
-        h, mask1 = BottleNeck(64, "down", name="bottleneck_1_0")(h, train=train)
+        h, mask1 = Block(64, "down", name="bottleneck_1_0")(h, None, train)
         for i in range(4):
-            h = BottleNeck(64, "regular", fast_paths=self.fast_paths, name=f"bottleneck_1_{i+1}")(h, train=train)
-        h, mask2 = BottleNeck(128, "down", name="bottleneck_2_0")(h, train=train)
+            h = Block(64, "regular", fast_paths=self.fast_paths, name=f"bottleneck_1_{i+1}")(h, None, train)
+        h, mask2 = Block(128, "down", name="bottleneck_2_0")(h, None, train)
         idx = 1
         for _section in range(2):
             for variant, d in (("regular", 1), ("dilated", 2), ("asym", 1),
                                ("dilated", 4), ("regular", 1), ("dilated", 8),
                                ("asym", 1), ("dilated", 16)):
-                h = BottleNeck(128, variant, dilation_rate=d, fast_paths=self.fast_paths,
-                               name=f"bottleneck_2_{idx}")(h, train=train)
+                h = Block(128, variant, dilation_rate=d, fast_paths=self.fast_paths,
+                          name=f"bottleneck_2_{idx}")(h, None, train)
                 idx += 1
 
         # ---------------- decoder (ref:enet.py:207-231) --------------------
-        h = BottleNeck(64, "up", use_relu=True, fast_paths=self.fast_paths, name="bottleneck_4_0")(
-            h, pool_mask=mask2, train=train)
-        h = BottleNeck(64, "regular", use_relu=True, fast_paths=self.fast_paths, name="bottleneck_4_1")(h, train=train)
-        h = BottleNeck(64, "regular", use_relu=True, fast_paths=self.fast_paths, name="bottleneck_4_2")(h, train=train)
-        h = BottleNeck(13 + x.shape[-1], "up", use_relu=True, fast_paths=self.fast_paths, name="bottleneck_5_0")(
-            h, pool_mask=mask1, train=train)
-        h = BottleNeck(13 + x.shape[-1], "regular", use_relu=True, fast_paths=self.fast_paths,
-                       name="bottleneck_5_1")(h, train=train)
+        h = Block(64, "up", use_relu=True, fast_paths=self.fast_paths, name="bottleneck_4_0")(
+            h, mask2, train)
+        h = Block(64, "regular", use_relu=True, fast_paths=self.fast_paths, name="bottleneck_4_1")(h, None, train)
+        h = Block(64, "regular", use_relu=True, fast_paths=self.fast_paths, name="bottleneck_4_2")(h, None, train)
+        h = Block(13 + x.shape[-1], "up", use_relu=True, fast_paths=self.fast_paths, name="bottleneck_5_0")(
+            h, mask1, train)
+        h = Block(13 + x.shape[-1], "regular", use_relu=True, fast_paths=self.fast_paths,
+                  name="bottleneck_5_1")(h, None, train)
         if self.fast_paths:
             logits = _D2SConvTranspose(self.num_classes, name="fullconv")(h)
         else:

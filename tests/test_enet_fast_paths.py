@@ -91,3 +91,36 @@ def test_full_enet_logits_equivalent(train):
     # train mode accumulates an extra BN round-trip of reassociation noise
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
                                atol=5e-4 if train else 1e-4)
+
+
+def test_remat_matches():
+    """Arch.remat=True (jax.checkpoint on every bottleneck) must be
+    invisible semantically: same param tree, same train-mode logits and
+    batch_stats, same parameter gradients — only the backward-pass
+    activation schedule changes."""
+    x = jnp.asarray(np.random.RandomState(3).rand(2, 16, 16, 1), jnp.float32)
+    gt = jnp.asarray(np.random.RandomState(4).randint(0, 4, (2, 16, 16)))
+    plain = Enet(num_classes=4)
+    remat = Enet(num_classes=4, remat=True)
+    v = plain.init(jax.random.PRNGKey(5), x)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(remat.init(jax.random.PRNGKey(5), x)))
+
+    def loss(mod, params):
+        logits, upd = mod.apply({"params": params,
+                                 "batch_stats": v["batch_stats"]},
+                                x, train=True, mutable=["batch_stats"])
+        one_hot = jax.nn.one_hot(gt, 4)
+        return -jnp.mean(jnp.sum(one_hot * jax.nn.log_softmax(logits), -1)), upd
+
+    (la, upd_a), ga = jax.value_and_grad(lambda p: loss(plain, p),
+                                         has_aux=True)(v["params"])
+    (lb, upd_b), gb = jax.value_and_grad(lambda p: loss(remat, p),
+                                         has_aux=True)(v["params"])
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(upd_a), jax.tree_util.tree_leaves(upd_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
