@@ -64,24 +64,34 @@ class _Enc(nn.Module):
 
 
 class UNet(nn.Module):
+    """``remat`` (``Arch.remat=True``) wraps each double-conv / decoder
+    stage in ``jax.checkpoint`` — same params/outputs/grads, stage
+    activations recomputed in the backward pass instead of stored (the
+    memory lever for large-resolution training; see models/enet.py)."""
+
     num_classes: int = 2
     in_channels: int = 1
     use_bn: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         bn = self.use_bn
-        dec1 = _DoubleConv(64, bn, bn_second=not bn, name="dec1")(x, train)
+        # static_argnums=(2,): the ``train`` flag (0 is the module itself)
+        _DC = (nn.remat(_DoubleConv, static_argnums=(2,)) if self.remat
+               else _DoubleConv)
+        _EncB = (nn.remat(_Enc, static_argnums=(2,)) if self.remat else _Enc)
+        dec1 = _DC(64, bn, bn_second=not bn, name="dec1")(x, train)
         d1 = _ceil_maxpool(dec1)
-        dec2 = _DoubleConv(128, bn, bn_second=not bn, name="dec2")(d1, train)
+        dec2 = _DC(128, bn, bn_second=not bn, name="dec2")(d1, train)
         d2 = _ceil_maxpool(dec2)
-        dec3 = _DoubleConv(256, bn, bn_second=not bn, name="dec3")(d2, train)
+        dec3 = _DC(256, bn, bn_second=not bn, name="dec3")(d2, train)
         d3 = _ceil_maxpool(dec3)
-        dec4 = _DoubleConv(512, bn, bn_second=not bn, name="dec4")(d3, train)
+        dec4 = _DC(512, bn, bn_second=not bn, name="dec4")(d3, train)
         dec4 = nn.Dropout(0.5, deterministic=not train)(dec4)
         d4 = _ceil_maxpool(dec4)
 
-        center = _DoubleConv(1024, bn, name="center")(d4, train)
+        center = _DC(1024, bn, name="center")(d4, train)
         center = nn.Dropout(0.5, deterministic=not train)(center)
         center = nn.ConvTranspose(512, (2, 2), strides=(2, 2), padding="VALID",
                                   kernel_init=conv_kernel_init, name="center_up")(center)
@@ -91,13 +101,13 @@ class UNet(nn.Module):
         # UNetDec's Sequential ends in the max-pool, and forward feeds dec4/
         # dec3/… (ref:network.py:160-168,226-236) — not the classic pre-pool
         # features (pinned by tests/test_forward_parity.py)
-        h = _Enc(512, 256, bn, name="enc4")(
+        h = _EncB(512, 256, bn, name="enc4")(
             jnp.concatenate([center, _resize_bilinear(d4, center.shape[1:3])], -1), train)
-        h = _Enc(256, 128, bn, name="enc3")(
+        h = _EncB(256, 128, bn, name="enc3")(
             jnp.concatenate([h, _resize_bilinear(d3, h.shape[1:3])], -1), train)
-        h = _Enc(128, 64, bn, name="enc2")(
+        h = _EncB(128, 64, bn, name="enc2")(
             jnp.concatenate([h, _resize_bilinear(d2, h.shape[1:3])], -1), train)
-        h = _DoubleConv(64, bn, bn_second=not bn, name="enc1")(
+        h = _DC(64, bn, bn_second=not bn, name="enc1")(
             jnp.concatenate([h, _resize_bilinear(d1, h.shape[1:3])], -1), train)
         logits = nn.Conv(self.num_classes, (1, 1), kernel_init=conv_kernel_init,
                          name="final")(h)

