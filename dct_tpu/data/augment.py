@@ -103,6 +103,23 @@ def augment_u8_with_thetas(img_u8: jnp.ndarray, gt_u8: jnp.ndarray,
     return img, out[..., 1].astype(jnp.int32)
 
 
+def warp_gathered_u8(img_u8: jnp.ndarray, gt_u8: jnp.ndarray,
+                     thetas: jnp.ndarray, dtype=jnp.float32
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Default augmentation inner path for a gathered uint8 (B,H,W) img+gt
+    pair: normalize to float FIRST, then nearest-warp the stacked pair
+    (``augment_batch_with_thetas``). Bit-identical outputs to
+    ``augment_u8_with_thetas`` (the warp-on-u8 variant); that variant moves
+    2 B/px through the warp gather instead of 8, but measured ~2% SLOWER in
+    the real co-train epoch (interleaved same-process A/B, bench_aug_ab.py,
+    2026-08-18 v5e: f32 2.011 s/30-iter = 179.0 img/s vs u8 2.058 = 174.9
+    across 4 reps each), so normalize-first stays the default. Monkeypatch
+    this symbol to re-run the A/B."""
+    img = img_u8.astype(dtype)[..., None] / 255.0
+    gt = gt_u8.astype(jnp.int32)
+    return augment_batch_with_thetas(img, gt, thetas)
+
+
 def augment_batch_with_thetas(img: jnp.ndarray, gt: jnp.ndarray,
                               thetas: jnp.ndarray, fast: bool = True,
                               impl: str = "gather"

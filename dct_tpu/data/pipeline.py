@@ -54,22 +54,21 @@ def normalize_gather(img_u8: jnp.ndarray, gt_u8: jnp.ndarray, idx: jnp.ndarray,
 def gather_augment_u8(img_u8: jnp.ndarray, gt_u8: jnp.ndarray,
                       idx: jnp.ndarray, key, dtype=jnp.float32
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """``normalize_gather`` + ``augment_batch`` with the warp on uint8:
-    gather the batch as u8, nearest-warp img+gt jointly (2 B/px through the
-    warp gather instead of the 8 B/px f32 stack), normalize after.
-    Bit-identical draws and outputs to normalize_gather→augment_batch(key)
-    (the thetas come from the same key; the nearest warp commutes with the
-    per-pixel /255). Grayscale (N,H,W) datasets only — falls back to the
-    f32 path for channeled data."""
-    from .augment import augment_batch, augment_u8_with_thetas, sample_aug_thetas
+    """``normalize_gather`` + joint nearest warp of the gathered batch.
+    Grayscale (N,H,W) datasets route through ``augment.warp_gathered_u8``
+    (normalize-then-warp, the measured-fastest inner path — the warp-on-u8
+    variant is bit-identical but ~2% slower in the real epoch, see
+    bench_aug_ab.py / BASELINE.md); channeled data falls back to
+    normalize → ``augment_batch``."""
+    from .augment import augment_batch, sample_aug_thetas, warp_gathered_u8
     if img_u8.ndim != 3:
         img, gt = normalize_gather(img_u8, gt_u8, idx, dtype)
         return augment_batch(img, gt, key)
     b = idx.shape[0]
     h, w = img_u8.shape[1], img_u8.shape[2]
     thetas = sample_aug_thetas(key, b, h, w)
-    return augment_u8_with_thetas(jnp.take(img_u8, idx, axis=0),
-                                  jnp.take(gt_u8, idx, axis=0), thetas, dtype)
+    return warp_gathered_u8(jnp.take(img_u8, idx, axis=0),
+                            jnp.take(gt_u8, idx, axis=0), thetas, dtype)
 
 
 def warp_gather_normalize(img_u8: jnp.ndarray, gt_u8: jnp.ndarray,

@@ -325,8 +325,8 @@ def make_cotrain_epoch(seg: Segmentator, K: int, C: int,
                 # vs 180.3 img/s: arbitrary indices into the 110M-element
                 # array lose the per-image gather's locality; negative
                 # result, two-step kept)
-                from ..data.augment import (augment_u8_with_thetas,
-                                            sample_aug_thetas)
+                from ..data.augment import (sample_aug_thetas,
+                                            warp_gathered_u8)
                 B = idx_lab_t.shape[1]
                 Bu = idx_unlab_t.shape[0]
                 idx_all = jnp.concatenate(
@@ -339,11 +339,10 @@ def make_cotrain_epoch(seg: Segmentator, K: int, C: int,
                      for i in range(K)]
                     + [sample_aug_thetas(jax.random.fold_in(k, 101), Bu, h, w)],
                     axis=0)
-                # warp on uint8 (2 B/px through the gather vs the 8 B/px f32
-                # img+gt stack), normalize after — bit-identical, see
-                # augment_u8_with_thetas
-                img_all, gt_all = augment_u8_with_thetas(img_all_u8,
-                                                         gt_all_u8, thetas)
+                # normalize-then-warp (measured faster than the u8-warp
+                # variant; see augment.warp_gathered_u8 / BASELINE.md)
+                img_all, gt_all = warp_gathered_u8(img_all_u8,
+                                                   gt_all_u8, thetas)
                 lab_img = img_all[:K * B].reshape((K, B) + img_all.shape[1:])
                 lab_gt = gt_all[:K * B].reshape((K, B) + gt_all.shape[1:])
                 unlab_img, unlab_gt = img_all[K * B:], gt_all[K * B:]
