@@ -33,6 +33,7 @@ class AdaBoundState(NamedTuple):
     count: jnp.ndarray
     mu: Any
     nu: Any
+    max_nu: Any
 
 
 def scale_by_adabound(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
@@ -41,18 +42,23 @@ def scale_by_adabound(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
     """AdaBound (dynamic-bound Adam→SGD, ref:generalframework/optim/adabound.py:6-117)
     as an lr-relative direction: bounds are expressed as multiples of the
     base lr (``final_lr_ratio`` = final_lr / base_lr, reference default
-    0.1/0.001 = 100)."""
+    0.1/0.001 = 100). Golden-parity vs the vendored torch AdaBound is pinned
+    by tests/test_torch_parity.py (incl. the Adam→SGD transition region and
+    the amsbound variant)."""
 
     def init(params):
         mu = jax.tree_util.tree_map(jnp.zeros_like, params)
         nu = jax.tree_util.tree_map(jnp.zeros_like, params)
-        return AdaBoundState(jnp.zeros([], jnp.int32), mu, nu)
+        max_nu = jax.tree_util.tree_map(jnp.zeros_like, params) if amsbound else None
+        return AdaBoundState(jnp.zeros([], jnp.int32), mu, nu, max_nu)
 
     def update(updates, state, params=None):
         del params
         count = state.count + 1
         mu = jax.tree_util.tree_map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates)
         nu = jax.tree_util.tree_map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, updates)
+        max_nu = (jax.tree_util.tree_map(jnp.maximum, state.max_nu, nu)
+                  if amsbound else None)
         t = count.astype(jnp.float32)
         bc1 = 1 - b1 ** t
         bc2 = 1 - b2 ** t
@@ -61,11 +67,14 @@ def scale_by_adabound(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
         upper = final_lr_ratio * (1 + 1 / (gamma * t))
 
         def direction(m, v):
-            denom = jnp.sqrt(v) / jnp.sqrt(bc2) + eps
-            step = jnp.clip((1.0 / bc1) / denom, lower, upper)
+            # per-element lr/base_lr = clamp(sqrt(bc2)/bc1 / (sqrt(v)+eps), ...)
+            # — eps OUTSIDE the bias correction, exactly as the torch code
+            # (adabound.py:100-113: denom = sqrt(exp_avg_sq)+eps, then
+            # step_size = lr*sqrt(bc2)/bc1 clamped to the bound window).
+            step = jnp.clip((jnp.sqrt(bc2) / bc1) / (jnp.sqrt(v) + eps), lower, upper)
             return step * m
-        dirs = jax.tree_util.tree_map(direction, mu, nu)
-        return dirs, AdaBoundState(count, mu, nu)
+        dirs = jax.tree_util.tree_map(direction, mu, max_nu if amsbound else nu)
+        return dirs, AdaBoundState(count, mu, nu, max_nu)
 
     return optax.GradientTransformation(init, update)
 
@@ -98,15 +107,27 @@ def build_optimizer(optim_dict: Dict[str, Any]) -> optax.GradientTransformation:
     if name in ("AdaBound", "AdaBoundW"):
         base_lr = float(optim_dict["lr"])
         final_lr = float(optim_dict.get("final_lr", 0.1))
+        core = scale_by_adabound(
+            b1=optim_dict.get("betas", (0.9, 0.999))[0],
+            b2=optim_dict.get("betas", (0.9, 0.999))[1],
+            eps=float(optim_dict.get("eps", 1e-8)),
+            final_lr_ratio=final_lr / base_lr,
+            gamma=float(optim_dict.get("gamma", 1e-3)),
+            amsbound=bool(optim_dict.get("amsbound", False)),
+        )
+        if name == "AdaBound":
+            # torch AdaBound: L2 folded into the gradient before the moments
+            # (ref:adabound.py:92-93).
+            return optax.chain(_maybe_l2(wd), core)
+        # AdaBoundW: decoupled decay AFTER the bounded step, NOT scaled by lr
+        # (ref:adabound.py:226-229: p -= step; p -= wd*p). Our step applies
+        # lr(epoch)·direction, so express the decay as wd/base_lr relative to
+        # the direction — exact at constant lr; under an lr schedule the decay
+        # scales with lr/base_lr where torch's stays constant (documented
+        # divergence, matches AdamW-style practice).
         return optax.chain(
-            _maybe_l2(wd),
-            scale_by_adabound(
-                b1=optim_dict.get("betas", (0.9, 0.999))[0],
-                b2=optim_dict.get("betas", (0.9, 0.999))[1],
-                eps=float(optim_dict.get("eps", 1e-8)),
-                final_lr_ratio=final_lr / base_lr,
-                gamma=float(optim_dict.get("gamma", 1e-3)),
-            ))
+            core,
+            optax.add_decayed_weights(wd / base_lr) if wd else optax.identity())
     raise KeyError(f"unknown optimizer {name!r}")
 
 

@@ -18,19 +18,28 @@ from pathlib import Path
 
 SIZE_CAP = 24 * 1024 * 1024  # per-file cap: ENet ckpts are ~1.5-6 MB
 KEEP_SUFFIXES = {".csv", ".yml", ".yaml", ".json", ".npy", ".txt", ".md", ".ckpt"}
-SKIP_NAMES = {"last.ckpt"}  # resume-only payload (opt state); best_*.ckpt kept
+REPO_ROOT = Path(__file__).resolve().parents[1]
 
 
-def collect(run_dir: Path, out_root: Path = Path("results")) -> int:
+def _is_resume_only(name: str) -> bool:
+    # last.ckpt plus the city co-trainer's per-model last_0.ckpt/last_1.ckpt
+    # (dct_tpu/train/city.py) — resume-only payloads; best_*.ckpt kept.
+    return name == "last.ckpt" or (name.startswith("last_") and name.endswith(".ckpt"))
+
+
+def collect(run_dir: Path, out_root: Path = REPO_ROOT / "results") -> int:
     if not run_dir.is_dir():
         print(f"skip (not a dir): {run_dir}")
         return 0
     dest = out_root / run_dir.name
+    # Mirror deletions in the run dir (e.g. mean_teacher prunes superseded
+    # best_*.ckpt): clear the destination so stale copies don't accumulate.
+    shutil.rmtree(dest, ignore_errors=True)
     n = 0
     for src in sorted(run_dir.rglob("*")):
         if not src.is_file():
             continue
-        if src.suffix not in KEEP_SUFFIXES or src.name in SKIP_NAMES:
+        if src.suffix not in KEEP_SUFFIXES or _is_resume_only(src.name):
             continue
         if src.stat().st_size > SIZE_CAP:
             print(f"skip (too big): {src}")

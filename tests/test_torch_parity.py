@@ -132,6 +132,98 @@ class TestOptimizerParity:
         ours = apply_direction(jnp.asarray(w0), direction, 1e-3)
         assert np.allclose(np.asarray(ours), wt.detach().numpy(), atol=1e-6)
 
+    @staticmethod
+    def _load_ref_adabound():
+        """Import the reference's vendored AdaBound module directly from file
+        (ref:generalframework/optim/adabound.py) without triggering the
+        generalframework package __init__."""
+        import importlib.util
+        import warnings
+        from pathlib import Path
+
+        path = Path("/root/reference/generalframework/optim/adabound.py")
+        if not path.exists():
+            pytest.skip("reference checkout unavailable")
+        spec = importlib.util.spec_from_file_location("ref_adabound", path)
+        mod = importlib.util.module_from_spec(spec)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # old add_(Number, Tensor) overload
+            spec.loader.exec_module(mod)
+        return mod
+
+    def _run_adabound_pair(self, *, lr, final_lr, gamma, weight_decay, amsbound,
+                           variant, n_steps, grad_scale=1.0):
+        """Run torch (vendored) and ours for n_steps on identical grads; return
+        both trajectories of the flattened weight."""
+        import warnings
+
+        from dct_tpu.optim import apply_direction, build_optimizer
+
+        mod = self._load_ref_adabound()
+        cls = mod.AdaBoundW if variant == "AdaBoundW" else mod.AdaBound
+        w0 = rand((6, 4), 30)
+        grads = [rand((6, 4), 31 + i) * grad_scale for i in range(n_steps)]
+
+        wt = torch.tensor(w0.copy(), requires_grad=True)
+        opt = cls([wt], lr=lr, final_lr=final_lr, gamma=gamma,
+                  weight_decay=weight_decay, amsbound=amsbound)
+        torch_traj = []
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            for g in grads:
+                wt.grad = torch.tensor(g.copy())
+                opt.step()
+                torch_traj.append(wt.detach().numpy().copy())
+
+        tx = build_optimizer({"name": variant, "lr": lr, "final_lr": final_lr,
+                              "gamma": gamma, "weight_decay": weight_decay,
+                              "amsbound": amsbound})
+        w = jnp.asarray(w0)
+        state = tx.init(w)
+        ours_traj = []
+        for g in grads:
+            d, state = tx.update(jnp.asarray(g), state, w)
+            w = apply_direction(w, d, lr)
+            ours_traj.append(np.asarray(w).copy())
+        return torch_traj, ours_traj
+
+    def test_adabound_vs_reference(self):
+        """scale_by_adabound vs ref:generalframework/optim/adabound.py:6-117
+        over 12 steps with L2 weight decay."""
+        torch_traj, ours_traj = self._run_adabound_pair(
+            lr=1e-3, final_lr=0.1, gamma=1e-3, weight_decay=1e-2,
+            amsbound=False, variant="AdaBound", n_steps=12)
+        for t, o in zip(torch_traj, ours_traj):
+            assert np.allclose(o, t, atol=1e-6)
+
+    def test_adabound_transition_region(self):
+        """Large gamma + tiny grads force both clamp bounds to bind (the
+        Adam→SGD transition, ref:adabound.py:108-113): tiny grads → huge raw
+        Adam step → upper clamp; large v elements → lower clamp."""
+        torch_traj, ours_traj = self._run_adabound_pair(
+            lr=1e-2, final_lr=0.1, gamma=0.3, weight_decay=0.0,
+            amsbound=False, variant="AdaBound", n_steps=15, grad_scale=1e-4)
+        for t, o in zip(torch_traj, ours_traj):
+            assert np.allclose(o, t, atol=1e-6)
+        # sanity: the bound window actually tightened during the run
+        assert not np.allclose(torch_traj[0], torch_traj[-1])
+
+    def test_adabound_amsbound(self):
+        torch_traj, ours_traj = self._run_adabound_pair(
+            lr=1e-3, final_lr=0.1, gamma=1e-3, weight_decay=0.0,
+            amsbound=True, variant="AdaBound", n_steps=10)
+        for t, o in zip(torch_traj, ours_traj):
+            assert np.allclose(o, t, atol=1e-6)
+
+    def test_adaboundw_decoupled_decay(self):
+        """AdaBoundW: decay applied to p AFTER the bounded step, unscaled by lr
+        (ref:adabound.py:226-229) — exact at constant lr."""
+        torch_traj, ours_traj = self._run_adabound_pair(
+            lr=1e-3, final_lr=0.1, gamma=1e-3, weight_decay=1e-2,
+            amsbound=False, variant="AdaBoundW", n_steps=10)
+        for t, o in zip(torch_traj, ours_traj):
+            assert np.allclose(o, t, atol=1e-6)
+
     def test_sgd_momentum(self):
         from dct_tpu.optim import apply_direction, build_optimizer
 
