@@ -160,7 +160,7 @@ class CoTrainer:
                 fn = make_cotrain_epoch(
                     self.seg, self.K, self.C, self.criterions["sup"],
                     train_jsd, train_adv, aug_lab, aug_unlab, self.eps_fgsm,
-                    fuse_aug=not self._dp_only)
+                    fuse_aug="split" if self._dp_only else "merged")
                 self._epoch_fns[sig] = ("vmap", fn)
         return self._epoch_fns[sig]
 

@@ -259,7 +259,7 @@ def make_cotrain_epoch(seg: Segmentator, K: int, C: int,
                        train_jsd: bool, train_adv: bool,
                        augment_labeled: bool, augment_unlabeled: bool,
                        eps_fgsm: float = 0.03,
-                       fuse_aug: bool = True) -> Callable:
+                       fuse_aug="merged") -> Callable:
     """Build the jitted co-training epoch.
 
     ``epoch(stacked_state, img_u8, gt_u8, idx_lab (T,K,B), idx_unlab (T,Bu),
@@ -271,6 +271,16 @@ def make_cotrain_epoch(seg: Segmentator, K: int, C: int,
     ``pairs`` is the per-iteration random 2-of-K adversarial choice
     (ref::235-242; with K=2 it is always (0,1): attack model 1, update
     model 0).
+
+    ``fuse_aug`` selects the augmentation fusion level (all three produce
+    bit-identical draws — pinned by tests/test_data.py):
+      * ``"merged"`` / ``True`` — ONE gather + ONE warp over all K·B+Bu
+        images (fastest single-chip; the (K,B)→K·B reshape mis-shards under
+        a GSPMD-DP mesh, see CLAUDE.md).
+      * ``"split"`` — one (K,B) gather + one K-vmapped warp for the labeled
+        streams plus one gather+warp for the unlabeled stream; the K and B
+        axes stay separate, so the GSPMD partitioner shards it cleanly.
+      * ``False`` — per-stream gather+warp (K+1 calls).
     """
     vapply_own = jax.vmap(seg.apply_train, in_axes=(0, 0, 0))        # per-model batch
     vapply_shared = jax.vmap(seg.apply_train, in_axes=(0, 0, None))  # shared batch
@@ -309,12 +319,26 @@ def make_cotrain_epoch(seg: Segmentator, K: int, C: int,
             idx_lab_t, idx_unlab_t, pair, k = xs
 
             # ---- gather + augment (on device) ----------------------------
-            # fuse_aug=False under a GSPMD-DP mesh: the fused reshape merges
-            # the replicated model axis into the data-sharded batch axis,
-            # which the partitioner mis-shards (it tries to split the
-            # vmapped grouped convs along feature groups); the per-stream
-            # path below partitions cleanly
-            if augment_labeled and augment_unlabeled and fuse_aug:
+            if augment_labeled and augment_unlabeled and fuse_aug == "split":
+                # DP-safe fusion: one gather + one K-vmapped warp for all K
+                # labeled streams (K and B axes kept separate — merging them
+                # makes the GSPMD partitioner split the vmapped grouped convs
+                # along feature groups), one gather+warp for the unlabeled
+                # stream. Draws identical to the per-stream path.
+                from ..data.augment import (sample_aug_thetas,
+                                            warp_gathered_u8)
+                B = idx_lab_t.shape[1]
+                h, w = img_u8.shape[1], img_u8.shape[2]
+                lab_img_u8 = jnp.take(img_u8, idx_lab_t, axis=0)   # (K,B,H,W)
+                lab_gt_u8 = jnp.take(gt_u8, idx_lab_t, axis=0)
+                thetas_lab = jnp.stack(
+                    [sample_aug_thetas(jax.random.fold_in(k, i), B, h, w)
+                     for i in range(K)])                           # (K,B,2,3)
+                lab_img, lab_gt = jax.vmap(warp_gathered_u8)(
+                    lab_img_u8, lab_gt_u8, thetas_lab)
+                unlab_img, unlab_gt = gather_augment_u8(
+                    img_u8, gt_u8, idx_unlab_t, jax.random.fold_in(k, 101))
+            elif augment_labeled and augment_unlabeled and fuse_aug:
                 # fused: ONE gather + ONE warp for all K labeled streams +
                 # the unlabeled stream. Each stream's thetas still come from
                 # its own key (fold_in(k, i) / fold_in(k, 101)), so the

@@ -183,6 +183,30 @@ class TestCityAugment:
         assert dumps, "expected val prediction dumps at epoch 0"
 
 
+class TestSupervisedCityEntry:
+    def test_train_sup_city_entry(self, city_root, tmp_path):
+        """configs/cityscapes_supervised.yaml through train_sup_city.main
+        (ref:config/cityscapes_config.yml + ref:trainer_city.py:29-66):
+        one supervised epoch on the synthetic tree, metrics written."""
+        import pandas as pd
+
+        import train_sup_city
+
+        run = tmp_path / "city_sup"
+        trainer = train_sup_city.main([
+            f"Dataset.root_dir={city_root}",
+            "Dataset.image_size=[32,32]",
+            "Dataset.subsample=1",
+            "Trainer.max_epoch=1",
+            f"Trainer.save_dir={run}",
+            "Dataloader.batch_size=2",
+        ])
+        assert trainer.inner.K == 1
+        csv = pd.read_csv(run / "metrics.csv")
+        assert len(csv) == 1 and np.isfinite(csv["sup_loss_0"]).all()
+        assert (run / "config.yml").exists()
+
+
 class TestCityResume:
     def _build(self, city_root, run, max_epoch, checkpoint=None):
         from dct_tpu.losses import get_loss_fn

@@ -168,6 +168,47 @@ def test_model_and_data_axes():
                for a, f in zip(after, fresh_l))
 
 
+def test_split_fuse_aug_bit_identical():
+    """The DP-safe "split" fusion (one K-vmapped warp, K and B axes kept
+    separate) must produce BIT-identical augmented batches to both the
+    "merged" one-call warp and the per-stream path — same thetas from the
+    same fold_in keys, same nearest gather. (Whole-epoch agreement of
+    split-under-a-DP-mesh vs merged-single-device is covered end-to-end by
+    test_cotrainer_dp_mesh_parity; a standalone epoch-level comparison only
+    measures XLA fusion noise, ~3e-6 on losses.)"""
+    from dct_tpu.data.augment import sample_aug_thetas, warp_gathered_u8
+    from dct_tpu.data.pipeline import gather_augment_u8
+
+    img, gt, idx_lab_T, _, _ = make_inputs()
+    idx_lab = idx_lab_T[0]                                   # (K, B)
+    k = jax.random.PRNGKey(7)
+
+    # split: one (K,B) gather + one K-vmapped warp (steps.py "split" branch)
+    thetas = jnp.stack([sample_aug_thetas(jax.random.fold_in(k, i), B, H, H)
+                        for i in range(K)])
+    si, sg = jax.jit(jax.vmap(warp_gathered_u8))(
+        jnp.take(img, idx_lab, axis=0), jnp.take(gt, idx_lab, axis=0), thetas)
+
+    # merged: one K*B gather + one warp (steps.py "merged" branch)
+    idx_all = idx_lab.reshape(-1)
+    mi, mg = jax.jit(warp_gathered_u8)(
+        jnp.take(img, idx_all, axis=0), jnp.take(gt, idx_all, axis=0),
+        thetas.reshape(-1, 2, 3))
+
+    # per-stream (fuse_aug=False branch)
+    per = [jax.jit(gather_augment_u8)(img, gt, idx_lab[i],
+                                      jax.random.fold_in(k, i))
+           for i in range(K)]
+
+    np.testing.assert_array_equal(np.asarray(si).reshape(mi.shape),
+                                  np.asarray(mi))
+    np.testing.assert_array_equal(np.asarray(sg).reshape(mg.shape),
+                                  np.asarray(mg))
+    for i in range(K):
+        np.testing.assert_array_equal(np.asarray(si[i]), np.asarray(per[i][0]))
+        np.testing.assert_array_equal(np.asarray(sg[i]), np.asarray(per[i][1]))
+
+
 def _build_cotrainer(tmp_path, name, mesh, max_epoch=1):
     import sys
     sys.path.insert(0, "tests")
