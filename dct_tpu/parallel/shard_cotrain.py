@@ -21,8 +21,19 @@ model per group, n_model<K hybridizes the vmap and shard paths. Per shard:
   (each model's params live on one group).
 
 BN note: inside shard_map each model's BatchNorm reduces over its LOCAL data
-shard (per-device BN, the common DP practice); the GSPMD DP path reduces over
-the global batch. Semantics equal at data=1.
+shard (per-device BN — the same semantics as the reference's nn.DataParallel
+wrapper, which replicates the module so BN runs per replica,
+ref:generalframework/models/segmentators.py:34-36); the GSPMD DP path reduces
+over the global batch (sync-BN, strictly more faithful to the single-device
+run). Semantics equal at data=1 (pinned to 1e-6 in f64 by
+tests/test_shard_parity_f64.py::test_inner_f64). At data>1 the divergence is
+real but bounded — per-shard batch means/vars differ from global ones, and
+the running var drops the between-shard mean variance (law of total
+variance). Measured at an adversarially small operating point (2 random 16²
+samples per shard, 4 steps, SGD lr=1e-2, f64): running-mean abs drift 0.30,
+running-var 34% rel, params 7.6e-2 — quantified and bounded by
+tests/test_shard_parity_f64.py::test_inner_f64_bn_divergence; real configs
+shard at >=4 samples/shard where batch statistics are tighter.
 """
 from __future__ import annotations
 
