@@ -57,6 +57,23 @@ _register_arch("vgg11", VGG11)
 _register_arch("resnet18", ResNet18)
 
 
+# Per-arch BatchNorm momentum (flax convention: new = m*old + (1-m)*batch).
+# Used by the fused labeled+unlabeled co-train forward (train/steps.py) to
+# compose two sequential running-stat updates exactly from one two-group
+# apply: r2 = m*ra_lab + ra_unlab - m*r0. Only valid when every BN layer in
+# the arch shares one momentum — true for each entry below; archs without BN
+# carry an empty batch_stats tree, so the value is unused there.
+BN_MOMENTUM: Dict[str, float] = {
+    "enet": 0.9, "unet": 0.9, "unet_bn": 0.9,           # layers.batch_norm
+    "segnet": 0.9, "jenet": 0.9, "cnet": 0.9,
+    "deeplabenet": 0.9,
+    "fcn8": 0.9, "fcn16": 0.9, "fcn32": 0.9,            # no BN (empty tree)
+    "pspnet": 0.9,                                      # no BN (empty tree)
+    "deeplabv2": 0.001, "deeplabv3": 0.001, "deeplabv3plus": 0.001,
+    "vgg11": 0.99, "resnet18": 0.99,                    # flax default
+}
+
+
 def get_arch(arch: str, kwargs: Dict[str, Any]) -> nn.Module:
     """Build a module definition from a config dict (ref:arch/__init__.py:68-81)."""
     kwargs = {k: v for k, v in kwargs.items() if k != "arch"}

@@ -58,6 +58,10 @@ class Segmentator:
                                                             "float32"))
         self.model = get_arch(self.arch_name, self.arch_params)
         self.dtype = dtype
+        # uniform BN momentum of this arch (None → unknown; disables the
+        # fused two-group co-train forward, see train/steps.py)
+        from . import BN_MOMENTUM
+        self.bn_momentum = BN_MOMENTUM.get(self.arch_name)
 
         dummy = jnp.zeros(input_shape, dtype)
         init_rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 1)}

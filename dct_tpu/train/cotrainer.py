@@ -57,6 +57,7 @@ class CoTrainer:
                  iters_per_epoch: int = ITERS_PER_EPOCH,
                  seed: int = 1234,
                  mesh=None,
+                 fuse_forward: bool = True,
                  whole_config: Optional[dict] = None) -> None:
         assert len(segmentators) == len(labeled_datasets)
         assert len(segmentators) >= 1
@@ -78,6 +79,10 @@ class CoTrainer:
         self.axises = axises if axises is not None else [1, 2, 3]
         self.metricname = metricname
         self.iters_per_epoch = iters_per_epoch
+        # merge the labeled+unlabeled forwards into one two-group apply
+        # (exact semantics; see train/steps.py fuse_forward). Config knob:
+        # Trainer.fuse_forward.
+        self.fuse_forward = bool(fuse_forward)
         self.batch_size = batch_size
         self.unlab_batch_size = unlab_batch_size or batch_size
         self.best_scores = np.zeros(self.K)
@@ -160,7 +165,8 @@ class CoTrainer:
                 fn = make_cotrain_epoch(
                     self.seg, self.K, self.C, self.criterions["sup"],
                     train_jsd, train_adv, aug_lab, aug_unlab, self.eps_fgsm,
-                    fuse_aug="split" if self._dp_only else "merged")
+                    fuse_aug="split" if self._dp_only else "merged",
+                    fuse_forward=self.fuse_forward)
                 self._epoch_fns[sig] = ("vmap", fn)
         return self._epoch_fns[sig]
 

@@ -259,7 +259,7 @@ def make_cotrain_epoch(seg: Segmentator, K: int, C: int,
                        train_jsd: bool, train_adv: bool,
                        augment_labeled: bool, augment_unlabeled: bool,
                        eps_fgsm: float = 0.03,
-                       fuse_aug="merged") -> Callable:
+                       fuse_aug="merged", fuse_forward: bool = True) -> Callable:
     """Build the jitted co-training epoch.
 
     ``epoch(stacked_state, img_u8, gt_u8, idx_lab (T,K,B), idx_unlab (T,Bu),
@@ -281,9 +281,29 @@ def make_cotrain_epoch(seg: Segmentator, K: int, C: int,
         streams plus one gather+warp for the unlabeled stream; the K and B
         axes stay separate, so the GSPMD partitioner shards it cleanly.
       * ``False`` — per-stream gather+warp (K+1 calls).
+
+    ``fuse_forward`` merges the labeled and unlabeled forwards (steps (1)
+    and (2) below) into ONE two-group vmapped apply when ``train_jsd`` and
+    B == Bu: the group axis keeps BatchNorm statistics per-stream (vmap
+    hides the axis from BN's reduction), and the two sequential
+    running-stat updates are composed exactly from the one pass
+    (r2 = m·ra_lab + ra_unlab − m·r0, m the arch's uniform BN momentum) —
+    bit-equal semantics up to float reassociation
+    (tests/test_step_semantics.py::test_fuse_forward_matches_unfused),
+    at half the conv-op count of the two separate applies. On the tunnel
+    chip, where per-conv dispatch latency floors the small-batch step
+    (BASELINE.md conv-efficiency study), fewer-but-bigger convs is the
+    win; XLA cannot do this merge itself because the two applies see
+    different BN reduction scopes.
     """
     vapply_own = jax.vmap(seg.apply_train, in_axes=(0, 0, 0))        # per-model batch
     vapply_shared = jax.vmap(seg.apply_train, in_axes=(0, 0, None))  # shared batch
+    # two-group apply: outer vmap over K models, inner over the
+    # (labeled, unlabeled) group axis with shared params/stats
+    vapply_grouped = jax.vmap(jax.vmap(seg.apply_train,
+                                       in_axes=(None, None, 0)),
+                              in_axes=(0, 0, 0))
+    bn_m = getattr(seg, "bn_momentum", None)
 
     def take_model(tree, i):
         return jax.tree_util.tree_map(lambda x: jnp.take(x, i, axis=0), tree)
@@ -388,19 +408,45 @@ def make_cotrain_epoch(seg: Segmentator, K: int, C: int,
                                                            idx_unlab_t)
 
             def total_loss(params_stack):
-                bs = carry["batch_stats"]
-                # (1) supervised, all K at once (ref::208-218)
-                lab_logits, bs = vapply_own(params_stack, bs, lab_img)
-                sup_each = jax.vmap(sup_loss)(lab_logits, lab_gt)      # (K,)
-                supervised = jnp.sum(sup_each)
-
-                jsd_loss = jnp.zeros((), lab_logits.dtype)
+                bs0 = carry["batch_stats"]
                 unlab_logits = None
-                if train_jsd:
-                    # (2) JSD on the shared unlabeled batch (ref::219-226)
-                    unlab_logits, bs = vapply_shared(params_stack, bs, unlab_img)
+                if (train_jsd and fuse_forward and bn_m is not None
+                        and lab_img.shape[1] == unlab_img.shape[0]):
+                    # (1)+(2) fused: each model forwards its labeled batch
+                    # AND the shared unlabeled batch in one two-group apply
+                    # (exact semantics — see the fuse_forward note above).
+                    merged = jnp.stack(
+                        [lab_img,
+                         jnp.broadcast_to(unlab_img[None], lab_img.shape)],
+                        axis=1)                              # (K,2,B,H,W,1)
+                    logits_kg, bs_kg = vapply_grouped(params_stack, bs0,
+                                                      merged)
+                    lab_logits = logits_kg[:, 0]
+                    unlab_logits = logits_kg[:, 1]
+                    # compose the two sequential running-stat updates from
+                    # the per-group ones (both computed against r0):
+                    # r2 = m·ra_lab + ra_unlab − m·r0
+                    bs = jax.tree_util.tree_map(
+                        lambda kg, r0: bn_m * kg[:, 0] + kg[:, 1]
+                        - bn_m * r0, bs_kg, bs0)
+                    sup_each = jax.vmap(sup_loss)(lab_logits, lab_gt)  # (K,)
+                    supervised = jnp.sum(sup_each)
                     probs = jax.nn.softmax(unlab_logits, axis=-1)
                     jsd_loss = jnp.mean(jsd_2d(probs))
+                else:
+                    bs = bs0
+                    # (1) supervised, all K at once (ref::208-218)
+                    lab_logits, bs = vapply_own(params_stack, bs, lab_img)
+                    sup_each = jax.vmap(sup_loss)(lab_logits, lab_gt)  # (K,)
+                    supervised = jnp.sum(sup_each)
+
+                    jsd_loss = jnp.zeros((), lab_logits.dtype)
+                    if train_jsd:
+                        # (2) JSD on the shared unlabeled batch (ref::219-226)
+                        unlab_logits, bs = vapply_shared(params_stack, bs,
+                                                         unlab_img)
+                        probs = jax.nn.softmax(unlab_logits, axis=-1)
+                        jsd_loss = jnp.mean(jsd_2d(probs))
 
                 adv_loss = jnp.zeros((), lab_logits.dtype)
                 if train_adv:

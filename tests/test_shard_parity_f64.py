@@ -102,6 +102,93 @@ def test_inner_f64():
     print(f"f64 param parity after {T} steps: max|Δ| = {worst:.2e}")
 
 
+def test_f64_fuse_forward_subprocess():
+    env = {**os.environ, "JAX_ENABLE_X64": "1", "RUN_X64_INNER": "1"}
+    res = subprocess.run(
+        [sys.executable, "-m", "pytest",
+         __file__ + "::test_inner_f64_fuse_forward",
+         "-q", "-p", "no:cacheprovider", "-s"],
+        env=env, capture_output=True, text=True, timeout=1500,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert res.returncode == 0, res.stdout + res.stderr
+
+
+@pytest.mark.skipif(os.environ.get("RUN_X64_INNER") != "1",
+                    reason="inner x64 test; run via the subprocess test")
+def test_inner_f64_fuse_forward():
+    """f64 exactness pin for the fused two-group co-train forward
+    (train/steps.py fuse_forward): the merged labeled+unlabeled apply with
+    per-group BN stats and the composed running-stat update
+    (r2 = m·ra_lab + ra_unlab − m·r0) must match the sequential path to
+    float64 noise over a multi-step epoch with jsd+adv on. The fp32
+    envelope lives in test_step_semantics.py::test_fuse_forward_matches_unfused."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dct_tpu.losses import get_loss_fn
+    from dct_tpu.models import Segmentator, stack_states
+    from dct_tpu.train.steps import make_cotrain_epoch
+
+    assert jax.config.jax_enable_x64
+    H, B, T, K = 16, 2, 3, 2
+    SGD = {"name": "SGD", "lr": 1e-2, "weight_decay": 0.0}
+    STEP = {"name": "StepLR", "step_size": 90, "gamma": 0.1}
+    segs = [Segmentator({"name": "enet", "num_classes": 4,
+                         "compute_dtype": "float64"}, SGD, STEP,
+                        jax.random.PRNGKey(i), input_shape=(1, H, H, 1))
+            for i in range(K)]
+    seg = segs[0]
+
+    def to64(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float64)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+    st = stack_states([{"params": to64(s.state["params"]),
+                        "batch_stats": s.state["batch_stats"]}
+                       for s in segs])
+
+    def fresh():
+        cp = jax.tree_util.tree_map(jnp.copy, st)
+        return {"params": cp["params"], "batch_stats": cp["batch_stats"],
+                "opt_state": seg.tx.init(cp["params"])}
+
+    rs = np.random.RandomState(0)
+    N = 32
+    img = jnp.asarray(rs.randint(0, 255, (N, H, H), dtype=np.uint8))
+    gt = jnp.asarray(rs.randint(0, 4, (N, H, H)).astype(np.uint8))
+    idx_lab = rs.randint(0, N, (T, K, B)).astype(np.int32)
+    idx_unlab = rs.randint(0, N, (T, B)).astype(np.int32)
+    pairs = np.tile(np.array([0, 1], np.int32), (T, 1))
+    args = (img, gt, idx_lab, idx_unlab, pairs, jax.random.PRNGKey(7),
+            1e-3, 0.5, 0.05)
+
+    ce = get_loss_fn("cross_entropy")
+    fused = make_cotrain_epoch(seg, K, 4, ce, True, True, True, True, 0.03,
+                               fuse_forward=True)
+    seq = make_cotrain_epoch(seg, K, 4, ce, True, True, True, True, 0.03,
+                             fuse_forward=False)
+    new_f, m_f = fused(fresh(), *args)
+    new_s, m_s = seq(fresh(), *args)
+
+    for name in ("sup_loss", "jsd_loss", "adv_loss"):
+        # losses are cast to f32 at the apply boundary → f32 noise
+        np.testing.assert_allclose(np.asarray(m_f[name]),
+                                   np.asarray(m_s[name]), atol=5e-6)
+    worst = {"params": 0.0, "batch_stats": 0.0}
+    for which in worst:
+        for pa, pb in zip(jax.tree_util.tree_leaves(new_f[which]),
+                          jax.tree_util.tree_leaves(new_s[which])):
+            worst[which] = max(worst[which], float(
+                np.abs(np.asarray(pa) - np.asarray(pb)).max()))
+    # batch_stats are stored f32 (scan-carry dtype stability), so the
+    # composed update carries f32 rounding; params are pure f64
+    assert worst["params"] < 1e-9, worst
+    assert worst["batch_stats"] < 1e-5, worst
+    print(f"f64 fuse_forward parity after {T} steps: {worst}")
+
+
 def test_f64_bn_divergence_subprocess():
     env = {**os.environ, "JAX_ENABLE_X64": "1", "RUN_X64_INNER": "1",
            "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}

@@ -68,6 +68,90 @@ def test_adv_updates_only_model_a(rng):
     assert norms[1] == 0.0, norms       # attacked model gets NO gradient
 
 
+def test_fuse_forward_matches_unfused(rng):
+    """The fused two-group labeled+unlabeled forward (steps.py fuse_forward)
+    must reproduce the sequential path exactly: per-group BN batch stats via
+    the vmapped group axis, running stats composed as
+    r2 = m·ra_lab + ra_unlab − m·r0. Compared over a 3-iteration epoch with
+    jsd+adv on (SGD: Adam's sign-like first step amplifies float noise).
+
+    ONE iteration in fp32: multi-step fp32 drift is unboundable here (FGSM's
+    discontinuous sign(g) turns ~1e-7 conv-lowering reassociation noise into
+    run-dependent discrete flips — measured batch-stat drift varied 5.5e-3 to
+    3.1e-2 across identical runs); the 3-step trajectory exactness pin is
+    tests/test_shard_parity_f64.py::test_inner_f64_fuse_forward (1e-9)."""
+    from dct_tpu.models import stack_states
+    from dct_tpu.train.steps import make_cotrain_epoch
+
+    SGD = {"name": "SGD", "lr": 0.01, "momentum": 0.9}
+    Kk, Bb, T, N = 2, 3, 1, 24
+    segs = [Segmentator({"name": "enet", "num_classes": 4}, SGD, STEP,
+                        jax.random.PRNGKey(i), input_shape=(1, H, H, 1))
+            for i in range(Kk)]
+    seg = segs[0]
+    st = stack_states([{"params": s.state["params"],
+                        "batch_stats": s.state["batch_stats"]} for s in segs])
+
+    def fresh_state():
+        cp = jax.tree_util.tree_map(jnp.copy, st)
+        return {"params": cp["params"], "batch_stats": cp["batch_stats"],
+                "opt_state": seg.tx.init(cp["params"])}
+
+    rs = np.random.RandomState(3)
+    img = jnp.asarray(rs.randint(0, 255, (N, H, H), dtype=np.uint8))
+    gt = jnp.asarray(rs.randint(0, 4, (N, H, H)).astype(np.uint8))
+    idx_lab = rs.randint(0, N, (T, Kk, Bb)).astype(np.int32)
+    idx_unlab = rs.randint(0, N, (T, Bb)).astype(np.int32)   # Bu == B
+    pairs = np.tile(np.array([0, 1], np.int32), (T, 1))
+    key = jax.random.PRNGKey(11)
+    args = (img, gt, idx_lab, idx_unlab, pairs, key, 1e-2, 0.5, 0.05)
+
+    ce = get_loss_fn("cross_entropy")
+    fused = make_cotrain_epoch(seg, Kk, 4, ce, True, True, True, True, 0.03,
+                               fuse_forward=True)
+    seq = make_cotrain_epoch(seg, Kk, 4, ce, True, True, True, True, 0.03,
+                             fuse_forward=False)
+    new_f, m_f = fused(fresh_state(), *args)
+    new_s, m_s = seq(fresh_state(), *args)
+
+    # one iteration from identical fresh states: agreement to fp32 noise
+    for name in ("sup_loss", "jsd_loss", "adv_loss"):
+        a, b = np.asarray(m_f[name]), np.asarray(m_s[name])
+        assert np.allclose(a, b, atol=5e-5), (name, a, b)
+    for which, tol in (("params", 1e-4), ("batch_stats", 1e-3)):
+        for pa, pb in zip(jax.tree_util.tree_leaves(new_f[which]),
+                          jax.tree_util.tree_leaves(new_s[which])):
+            d = np.abs(np.asarray(pa) - np.asarray(pb)).max()
+            assert d < tol, (which, d)
+
+
+def test_fuse_forward_falls_back_when_batches_differ(rng):
+    """B != Bu must silently take the sequential path (shape-gated)."""
+    from dct_tpu.models import stack_states
+    from dct_tpu.train.steps import make_cotrain_epoch
+
+    segs = [Segmentator({"name": "enet", "num_classes": 4}, ADAM, STEP,
+                        jax.random.PRNGKey(i), input_shape=(1, H, H, 1))
+            for i in range(K)]
+    seg = segs[0]
+    st = stack_states([{"params": s.state["params"],
+                        "batch_stats": s.state["batch_stats"]} for s in segs])
+    state = {"params": st["params"], "batch_stats": st["batch_stats"],
+             "opt_state": seg.tx.init(st["params"])}
+    rs = np.random.RandomState(5)
+    N, T, Bu = 16, 2, 3          # labeled B=2 (K,B), unlabeled Bu=3
+    img = jnp.asarray(rs.randint(0, 255, (N, H, H), dtype=np.uint8))
+    gt = jnp.asarray(rs.randint(0, 4, (N, H, H)).astype(np.uint8))
+    idx_lab = rs.randint(0, N, (T, K, B)).astype(np.int32)
+    idx_unlab = rs.randint(0, N, (T, Bu)).astype(np.int32)
+    pairs = np.tile(np.array([0, 1], np.int32), (T, 1))
+    fn = make_cotrain_epoch(seg, K, 4, get_loss_fn("cross_entropy"),
+                            True, True, False, False, 0.03)
+    _, metrics = fn(state, img, gt, idx_lab, idx_unlab, pairs,
+                    jax.random.PRNGKey(0), 1e-3, 0.5, 0.05)
+    assert np.isfinite(np.asarray(metrics["sup_loss"])).all()
+
+
 def test_supervised_grads_are_private(rng):
     """Each model's CE term must only move its own parameters."""
     seg, st = build()

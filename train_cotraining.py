@@ -84,6 +84,7 @@ def main(argv=None) -> CoTrainer:
         iters_per_epoch=int(trainer_cfg.get("iters_per_epoch", 300)),
         seed=int(config.get("Seed", 1234)),
         mesh=mesh,
+        fuse_forward=bool(trainer_cfg.get("fuse_forward", True)),
         whole_config=config,
     )
     cotrainer.start_training(**config["StartTraining"])
