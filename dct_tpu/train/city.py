@@ -96,6 +96,13 @@ def make_city_cotrain_epoch(seg: Segmentator, K: int, C: int,
         "city adv path is defined for 2 segmentators (ref::364)"
     vapply_own = jax.vmap(seg.apply_train, in_axes=(0, 0, 0))
     vapply_shared = jax.vmap(seg.apply_train, in_axes=(0, 0, None))
+    # fused two-group labeled+unlabeled forward (exact semantics; same
+    # construction as steps.make_cotrain_epoch fuse_forward — measured +20%
+    # on the medical step, BASELINE.md)
+    vapply_grouped = jax.vmap(jax.vmap(seg.apply_train,
+                                       in_axes=(None, None, 0)),
+                              in_axes=(0, 0, 0))
+    bn_m = getattr(seg, "bn_momentum", None)
 
     def take_model(tree, i):
         return jax.tree_util.tree_map(lambda x: jnp.take(x, i, axis=0), tree)
@@ -118,15 +125,36 @@ def make_city_cotrain_epoch(seg: Segmentator, K: int, C: int,
                     jax.random.fold_in(k, 101))
 
             def total_loss(params_stack):
-                bs = carry["batch_stats"]
-                lab_logits, bs = vapply_own(params_stack, bs, lab_img)
-                sup_each = jax.vmap(sup_loss)(lab_logits, lab_gt)
-                supervised = jnp.sum(sup_each)
+                bs0 = carry["batch_stats"]
+                if (train_jsd and bn_m is not None
+                        and lab_img.shape[1] == unlab_img.shape[0]):
+                    merged = jnp.stack(
+                        [lab_img,
+                         jnp.broadcast_to(unlab_img[None], lab_img.shape)],
+                        axis=1)
+                    logits_kg, bs_kg = vapply_grouped(params_stack, bs0,
+                                                      merged)
+                    lab_logits = logits_kg[:, 0]
+                    unlab_logits = logits_kg[:, 1]
+                    bs = jax.tree_util.tree_map(
+                        lambda kg, r0: bn_m * kg[:, 0] + kg[:, 1]
+                        - bn_m * r0, bs_kg, bs0)
+                    sup_each = jax.vmap(sup_loss)(lab_logits, lab_gt)
+                    supervised = jnp.sum(sup_each)
+                    jsd_loss = jnp.mean(jsd_2d(jax.nn.softmax(unlab_logits,
+                                                              -1)))
+                else:
+                    bs = bs0
+                    lab_logits, bs = vapply_own(params_stack, bs, lab_img)
+                    sup_each = jax.vmap(sup_loss)(lab_logits, lab_gt)
+                    supervised = jnp.sum(sup_each)
 
-                jsd_loss = jnp.zeros((), lab_logits.dtype)
-                if train_jsd:
-                    unlab_logits, bs = vapply_shared(params_stack, bs, unlab_img)
-                    jsd_loss = jnp.mean(jsd_2d(jax.nn.softmax(unlab_logits, -1)))
+                    jsd_loss = jnp.zeros((), lab_logits.dtype)
+                    if train_jsd:
+                        unlab_logits, bs = vapply_shared(params_stack, bs,
+                                                         unlab_img)
+                        jsd_loss = jnp.mean(jsd_2d(
+                            jax.nn.softmax(unlab_logits, -1)))
 
                 adv_loss = jnp.zeros((), lab_logits.dtype)
                 if train_adv:

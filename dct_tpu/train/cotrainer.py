@@ -58,6 +58,7 @@ class CoTrainer:
                  seed: int = 1234,
                  mesh=None,
                  fuse_forward: bool = True,
+                 iters_per_dispatch: Optional[int] = None,
                  whole_config: Optional[dict] = None) -> None:
         assert len(segmentators) == len(labeled_datasets)
         assert len(segmentators) >= 1
@@ -83,6 +84,17 @@ class CoTrainer:
         # (exact semantics; see train/steps.py fuse_forward). Config knob:
         # Trainer.fuse_forward.
         self.fuse_forward = bool(fuse_forward)
+        # split each training epoch into ceil(T/iters_per_dispatch) equal jit
+        # calls (state threaded through; ONE compile reused since every chunk
+        # has the same static length). Long single dispatches at 512²+ (~2min
+        # on-device) crash this tunnel's TPU worker — chunks of ~50 iters
+        # keep each execution under the observed kill threshold. None = one
+        # call per epoch (default). Config knob: Trainer.iters_per_dispatch.
+        self.iters_per_dispatch = (int(iters_per_dispatch)
+                                   if iters_per_dispatch else None)
+        if self.iters_per_dispatch:
+            assert iters_per_epoch % self.iters_per_dispatch == 0, \
+                (iters_per_epoch, self.iters_per_dispatch)
         self.batch_size = batch_size
         self.unlab_batch_size = unlab_batch_size or batch_size
         self.best_scores = np.zeros(self.K)
@@ -286,14 +298,36 @@ class CoTrainer:
         lam_adv = self.adv_scheduler.value
 
         kind, fn = epoch_fn
-        if self._dp_only:
-            from ..parallel.mesh import place_batches
-            idx_lab, idx_unlab, pairs = place_batches(self.mesh, idx_lab,
-                                                      idx_unlab, pairs)
         t0 = time.time()
-        self.stacked_state, metrics = fn(
-            self.stacked_state, self._lab_img_cat, self._lab_gt_cat,
-            idx_lab, idx_unlab, pairs, key, lr, lam_cot, lam_adv)
+        chunk = self.iters_per_dispatch
+        if chunk and chunk < T:
+            # chunked epoch: same compiled graph per chunk (equal static
+            # length), state threaded through; per-chunk keys are folded so
+            # draws differ from the single-call epoch but stay deterministic
+            parts = []
+            for s in range(0, T, chunk):
+                il, iu, pr = (idx_lab[s:s + chunk], idx_unlab[s:s + chunk],
+                              pairs[s:s + chunk])
+                if self._dp_only:
+                    from ..parallel.mesh import place_batches
+                    il, iu, pr = place_batches(self.mesh, il, iu, pr)
+                self.stacked_state, m = fn(
+                    self.stacked_state, self._lab_img_cat, self._lab_gt_cat,
+                    il, iu, pr, jax.random.fold_in(key, s), lr, lam_cot,
+                    lam_adv)
+                # fetch per chunk: keeps each device execution bounded AND
+                # bounds in-flight async dispatches to one
+                parts.append({k: np.asarray(v) for k, v in m.items()})
+            metrics = {k: np.concatenate([p[k] for p in parts], axis=0)
+                       for k in parts[0]}
+        else:
+            if self._dp_only:
+                from ..parallel.mesh import place_batches
+                idx_lab, idx_unlab, pairs = place_batches(self.mesh, idx_lab,
+                                                          idx_unlab, pairs)
+            self.stacked_state, metrics = fn(
+                self.stacked_state, self._lab_img_cat, self._lab_gt_cat,
+                idx_lab, idx_unlab, pairs, key, lr, lam_cot, lam_adv)
         # the jit dispatch is async — the np.asarray metric fetches below are
         # what force completion, so time AFTER them (block_until_ready returns
         # early on the axon platform, CLAUDE.md)

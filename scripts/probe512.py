@@ -27,6 +27,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 def main(argv):
     kv = dict(a.split("=", 1) for a in argv)
     remat = bool(int(kv.get("remat", "1")))
+    fuse = bool(int(kv.get("fuse", "1")))
     B = int(kv.get("batch", "2"))
     T = int(kv.get("iters", "5"))
     H = W = int(kv.get("res", "512"))
@@ -39,7 +40,7 @@ def main(argv):
     from dct_tpu.train.steps import make_cotrain_epoch
 
     print(f"devices={jax.devices()} remat={remat} batch={B} iters={T} "
-          f"res={H}", flush=True)
+          f"res={H} fuse={fuse}", flush=True)
 
     K, C = 2, 2  # spleen: background + spleen
     segs = [Segmentator({"name": "enet", "num_classes": C, "remat": remat},
@@ -70,7 +71,8 @@ def main(argv):
     epoch_fn = make_cotrain_epoch(seg, K, C, get_loss_fn("cross_entropy"),
                                   train_jsd=True, train_adv=True,
                                   augment_labeled=True, augment_unlabeled=True,
-                                  eps_fgsm=0.03, fuse_aug="merged")
+                                  eps_fgsm=0.03, fuse_aug="merged",
+                                  fuse_forward=fuse)
     t0 = time.time()
     new_state, metrics = epoch_fn(state, img_u8, gt_u8, idx_lab, idx_unlab,
                                   pairs, jax.random.PRNGKey(0),

@@ -117,6 +117,71 @@ class TestCityCoTrainer:
         assert (tmp_path / "city" / "best_0.ckpt").exists()
 
 
+class TestCityFuseForward:
+    def test_fused_matches_sequential_one_iter(self):
+        """The city epoch's fused two-group forward (train/city.py, same
+        construction as steps.py fuse_forward) must match the sequential
+        path to fp32 noise over one iteration from fresh states. The
+        sequential build is forced by clearing seg.bn_momentum (the
+        build-time gate)."""
+        from dct_tpu.losses import get_loss_fn
+        from dct_tpu.models import Segmentator, stack_states
+        from dct_tpu.train.city import make_city_cotrain_epoch
+
+        K, B, H, T = 2, 2, 32, 1
+        # SGD: Adam's first step is ±lr·sign(g), which amplifies benign
+        # fp32 lowering noise into 2·lr param differences (same reasoning
+        # as tests/test_shard_cotrain.py)
+        SGD = {"name": "SGD", "lr": 0.01, "momentum": 0.9}
+        segs = [Segmentator({"name": "enet", "num_classes": NUM_CLASSES,
+                             "in_channels": 3}, SGD, STEP,
+                            jax.random.PRNGKey(i), input_shape=(1, H, H, 3))
+                for i in range(K)]
+        seg = segs[0]
+        st = stack_states([{"params": s.state["params"],
+                            "batch_stats": s.state["batch_stats"]}
+                           for s in segs])
+
+        def fresh():
+            cp = jax.tree_util.tree_map(jnp.copy, st)
+            return {"params": cp["params"], "batch_stats": cp["batch_stats"],
+                    "opt_state": seg.tx.init(cp["params"])}
+
+        sup = get_loss_fn("cross_entropy", ignore_index=250)
+        fn_fused = make_city_cotrain_epoch(seg, K, NUM_CLASSES, sup,
+                                           True, True, 0.03, 10.0)
+        assert seg.bn_momentum is not None
+        saved, seg.bn_momentum = seg.bn_momentum, None
+        try:
+            fn_seq = make_city_cotrain_epoch(seg, K, NUM_CLASSES, sup,
+                                             True, True, 0.03, 10.0)
+        finally:
+            seg.bn_momentum = saved
+
+        rs = np.random.RandomState(0)
+        N = 16
+        img = jnp.asarray(rs.randint(0, 255, (N, H, H, 3), dtype=np.uint8))
+        gt = jnp.asarray(rs.randint(0, NUM_CLASSES, (N, H, H)).astype(np.uint8))
+        idx_lab = rs.randint(0, N, (T, K, B)).astype(np.int32)
+        idx_unlab = rs.randint(0, N, (T, B)).astype(np.int32)
+        idx_adv_lab = rs.randint(0, N, (T, 2, B)).astype(np.int32)
+        idx_adv_unlab = rs.randint(0, N, (T, 2, B)).astype(np.int32)
+        flags = np.array([[True, False]])
+        args = (img, gt, idx_lab, idx_unlab, idx_adv_lab, idx_adv_unlab,
+                flags, jax.random.PRNGKey(3), 1e-3, 0.5, 0.05)
+
+        new_f, m_f = fn_fused(fresh(), *args)
+        new_s, m_s = fn_seq(fresh(), *args)
+        for name in ("sup_loss", "jsd_loss", "adv_loss"):
+            a, b = np.asarray(m_f[name]), np.asarray(m_s[name])
+            assert np.allclose(a, b, atol=5e-5), (name, a, b)
+        for which, tol in (("params", 1e-4), ("batch_stats", 1e-3)):
+            for pa, pb in zip(jax.tree_util.tree_leaves(new_f[which]),
+                              jax.tree_util.tree_leaves(new_s[which])):
+                d = np.abs(np.asarray(pa) - np.asarray(pb)).max()
+                assert d < tol, (which, d)
+
+
 class TestCityAugment:
     """key2aug registry parity + composed on-device augmentation."""
 

@@ -66,7 +66,8 @@ class TestSupervisedTrainer:
 
 
 class TestCoTrainer:
-    def _build(self, datasets, tmp_path, n_iters=6, max_epoch=2, checkpoint=None):
+    def _build(self, datasets, tmp_path, n_iters=6, max_epoch=2, checkpoint=None,
+               **kw):
         segs = [Segmentator(ARCH, ADAM, STEP, jax.random.PRNGKey(i),
                             input_shape=(1, 32, 32, 1)) for i in range(2)]
         labeled = [datasets["train"].filter_by_patterns(
@@ -85,7 +86,7 @@ class TestCoTrainer:
             adv_scheduler_dict={"name": "RampScheduler", "begin_epoch": 0,
                                 "max_epoch": 50, "max_value": 0.05, "ramp_mult": -5},
             adv_training_dict={"eplision": 0.03},
-            batch_size=4, iters_per_epoch=n_iters)
+            batch_size=4, iters_per_epoch=n_iters, **kw)
 
     def test_full_cotraining(self, datasets, tmp_path):
         ct = self._build(datasets, tmp_path)
@@ -99,6 +100,20 @@ class TestCoTrainer:
         assert (df["adv_loss"] >= 0).all()
         # supervised-only sanity: losses finite and dice in range
         assert 0.0 <= df["val_batch_dice_0_1"].iloc[-1] <= 1.0
+
+    def test_chunked_epoch_dispatch(self, datasets, tmp_path):
+        """Trainer.iters_per_dispatch splits the epoch into equal jit calls
+        (the workaround for the tunnel worker dying on ~2-minute single
+        dispatches at 512², BASELINE.md): 6 iters in 2 chunks of 3 must
+        train end-to-end with finite losses and produce the same artifact
+        set as the single-call epoch."""
+        ct = self._build(datasets, tmp_path, n_iters=6, max_epoch=1,
+                         iters_per_dispatch=3)
+        df = ct.start_training(train_jsd=True, train_adv=True)
+        assert len(df) == 1
+        assert np.isfinite(df["jsd_loss"]).all()
+        assert np.isfinite(df["adv_loss"]).all()
+        assert (tmp_path / "cotrain" / "best_0.ckpt").exists()
 
     def test_sup_only_mode(self, datasets, tmp_path):
         ct = self._build(datasets, tmp_path)

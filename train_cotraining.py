@@ -85,6 +85,7 @@ def main(argv=None) -> CoTrainer:
         seed=int(config.get("Seed", 1234)),
         mesh=mesh,
         fuse_forward=bool(trainer_cfg.get("fuse_forward", True)),
+        iters_per_dispatch=trainer_cfg.get("iters_per_dispatch"),
         whole_config=config,
     )
     cotrainer.start_training(**config["StartTraining"])
