@@ -128,7 +128,13 @@ def make_shard_cotrain_epoch(seg: Segmentator, mesh: Mesh, K: int, C: int,
 
             adv_loss = jnp.zeros((), lab_logits.dtype)
             if train_adv:
-                a, b = pair[0], pair[1]
+                if K == 2:
+                    # sorted 2-of-2 draw is always (0, 1) — static indices
+                    # fold the per-leaf take/put into free slices (same
+                    # specialization as train/steps.py)
+                    a, b = 0, 1
+                else:
+                    a, b = pair[0], pair[1]
                 a_own, a_loc = a // K_local, a % K_local
                 b_own, b_loc = b // K_local, b % K_local
                 # every shard attacks with its local slot b_loc (parallel,

@@ -259,7 +259,8 @@ def make_cotrain_epoch(seg: Segmentator, K: int, C: int,
                        train_jsd: bool, train_adv: bool,
                        augment_labeled: bool, augment_unlabeled: bool,
                        eps_fgsm: float = 0.03,
-                       fuse_aug="merged", fuse_forward: bool = True) -> Callable:
+                       fuse_aug="merged", fuse_forward: bool = True,
+                       _dynamic_pair: bool = False) -> Callable:
     """Build the jitted co-training epoch.
 
     ``epoch(stacked_state, img_u8, gt_u8, idx_lab (T,K,B), idx_unlab (T,Bu),
@@ -269,8 +270,9 @@ def make_cotrain_epoch(seg: Segmentator, K: int, C: int,
 
     All K labeled streams index into the same device-resident train split;
     ``pairs`` is the per-iteration random 2-of-K adversarial choice
-    (ref::235-242; with K=2 it is always (0,1): attack model 1, update
-    model 0).
+    (ref::235-242; the draw is sorted, so with K=2 it is always (0,1):
+    attack model 1, update model 0 — the compiled epoch relies on this and
+    specializes K=2 to static indices; pass K>2 for data-dependent pairs).
 
     ``fuse_aug`` selects the augmentation fusion level (all three produce
     bit-identical draws — pinned by tests/test_data.py):
@@ -453,7 +455,17 @@ def make_cotrain_epoch(seg: Segmentator, K: int, C: int,
                     # (3) FGSM diversity on the cached batches (ref::371-442):
                     # attack model b, feed adv images to model a,
                     # KL(a(adv) ‖ b(clean).detach()).
-                    a, b = pair[0], pair[1]
+                    if K == 2 and not _dynamic_pair:
+                        # the sorted 2-of-2 draw is always (0, 1)
+                        # (ref::235-242; cotrainer.py pair sampling) — use
+                        # static indices so every take_model/put_model below
+                        # lowers to a free slice/update instead of ~4
+                        # dynamic-slice ops per param/batch-stat leaf per
+                        # step (dispatch latency floors the small-batch
+                        # step; see BASELINE.md conv-efficiency study).
+                        a, b = 0, 1
+                    else:
+                        a, b = pair[0], pair[1]
                     params_b = take_model(params_stack, b)
                     bs_b = take_model(bs, b)
                     img_cat = jnp.concatenate(

@@ -166,3 +166,50 @@ def test_supervised_grads_are_private(rng):
 
     norms = grad_norms_per_model(jax.grad(sup0_only)(st["params"]))
     assert norms[0] > 0 and norms[1] == 0.0, norms
+
+
+def test_static_pair_matches_dynamic(rng):
+    """K=2 specializes the adversarial pair to static (0, 1) indices
+    (steps.py: sorted 2-of-2 draw is always (0,1), ref::235-242) so the
+    per-leaf take_model/put_model lower to free slices. Static and traced
+    indexing are the same math — the trajectories must agree bit-exactly."""
+    from dct_tpu.models import stack_states
+    from dct_tpu.train.steps import make_cotrain_epoch
+
+    Kk, Bb, T, N = 2, 3, 2, 24
+    segs = [Segmentator({"name": "enet", "num_classes": 4}, ADAM, STEP,
+                        jax.random.PRNGKey(i), input_shape=(1, H, H, 1))
+            for i in range(Kk)]
+    seg = segs[0]
+    st = stack_states([{"params": s.state["params"],
+                        "batch_stats": s.state["batch_stats"]} for s in segs])
+
+    def fresh_state():
+        cp = jax.tree_util.tree_map(jnp.copy, st)
+        return {"params": cp["params"], "batch_stats": cp["batch_stats"],
+                "opt_state": seg.tx.init(cp["params"])}
+
+    rs = np.random.RandomState(5)
+    img = jnp.asarray(rs.randint(0, 255, (N, H, H), dtype=np.uint8))
+    gt = jnp.asarray(rs.randint(0, 4, (N, H, H)).astype(np.uint8))
+    idx_lab = rs.randint(0, N, (T, Kk, Bb)).astype(np.int32)
+    idx_unlab = rs.randint(0, N, (T, Bb)).astype(np.int32)
+    pairs = np.tile(np.array([0, 1], np.int32), (T, 1))
+    args = (img, gt, idx_lab, idx_unlab, pairs, jax.random.PRNGKey(11),
+            1e-2, 0.5, 0.05)
+
+    ce = get_loss_fn("cross_entropy")
+    static = make_cotrain_epoch(seg, Kk, 4, ce, True, True, True, True, 0.03)
+    dynamic = make_cotrain_epoch(seg, Kk, 4, ce, True, True, True, True, 0.03,
+                                 _dynamic_pair=True)
+    new_s, m_s = static(fresh_state(), *args)
+    new_d, m_d = dynamic(fresh_state(), *args)
+
+    for name in ("sup_loss", "jsd_loss", "adv_loss"):
+        np.testing.assert_array_equal(np.asarray(m_s[name]),
+                                      np.asarray(m_d[name]), err_msg=name)
+    for which in ("params", "batch_stats"):
+        for pa, pb in zip(jax.tree_util.tree_leaves(new_s[which]),
+                          jax.tree_util.tree_leaves(new_d[which])):
+            np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb),
+                                          err_msg=which)
