@@ -1,5 +1,7 @@
 from .mesh import (  # noqa: F401
     choose_parallel_mesh,
+    data_parallel_mesh,
+    dp_shard_idx,
     make_mesh,
     place_batches,
     place_replicated,

@@ -49,6 +49,13 @@ def choose_parallel_mesh(K: int, n_devices: Optional[int] = None) -> Optional[Me
     return make_mesh(n, n_model=math.gcd(K, n))
 
 
+def data_parallel_mesh(n_devices: Optional[int] = None) -> Optional[Mesh]:
+    """Data-only (model=1) mesh for the single-model trainers (supervised /
+    MT / VAT / city). Returns None on a single device."""
+    n = n_devices or len(jax.devices())
+    return make_mesh(n, n_model=1) if n > 1 else None
+
+
 def place_replicated(mesh: Mesh, tree):
     """Replicate a pytree over the whole mesh."""
     sh = NamedSharding(mesh, P())
@@ -65,6 +72,20 @@ def place_stacked_state(mesh: Mesh, state: Dict, K: int):
         return NamedSharding(mesh, P())
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, spec_for(x)), state)
+
+
+def dp_shard_idx(mesh: Mesh, idx, batch_axis: int = -1):
+    """Shard ONE per-epoch index array's batch axis over ``data``; all other
+    axes replicated. This is the single placement every non-co-training
+    trainer needs for GSPMD DP (the reference's nn.DataParallel semantics,
+    ref:generalframework/models/segmentators.py:34-36, which wraps the model
+    used by every trainer): the jitted epochs are sharding-agnostic, so a
+    data-sharded batch-index array is enough for the partitioner to shard
+    the gather, the forward and the loss, and to psum the gradients."""
+    arr = np.asarray(idx)
+    spec = [None] * arr.ndim
+    spec[batch_axis] = "data"
+    return jax.device_put(arr, NamedSharding(mesh, P(*spec)))
 
 
 def place_batches(mesh: Mesh, idx_lab, idx_unlab, pairs):

@@ -54,7 +54,8 @@ def make_shard_cotrain_epoch(seg: Segmentator, mesh: Mesh, K: int, C: int,
                              sup_loss: Callable, train_jsd: bool,
                              train_adv: bool, augment: bool,
                              eps_fgsm: float = 0.03,
-                             state_template=None) -> Callable:
+                             state_template=None,
+                             fuse_forward: bool = True) -> Callable:
     n_model = mesh.shape["model"]
     assert K % n_model == 0, f"K={K} not divisible into {n_model} model groups"
     K_local = K // n_model
@@ -71,6 +72,13 @@ def make_shard_cotrain_epoch(seg: Segmentator, mesh: Mesh, K: int, C: int,
 
     vapply_own = jax.vmap(seg.apply_train, in_axes=(0, 0, 0))
     vapply_shared = jax.vmap(seg.apply_train, in_axes=(0, 0, None))
+    # two-group apply for the fused labeled+unlabeled forward (same
+    # optimization as train/steps.py fuse_forward: outer vmap over the
+    # LOCAL model stack, inner over the (labeled, unlabeled) group axis)
+    vapply_grouped = jax.vmap(jax.vmap(seg.apply_train,
+                                       in_axes=(None, None, 0)),
+                              in_axes=(0, 0, 0))
+    bn_m = getattr(seg, "bn_momentum", None)
 
     def take_model(tree, i):
         return jax.tree_util.tree_map(lambda x: jnp.take(x, i, axis=0), tree)
@@ -106,25 +114,52 @@ def make_shard_cotrain_epoch(seg: Segmentator, mesh: Mesh, K: int, C: int,
         lab_img = jnp.stack([x[0] for x in lab])      # (K_local, B_l, H, W, 1)
         lab_gt = jnp.stack([x[1] for x in lab])       # (K_local, B_l, H, W)
         if augment:
-            unlab_img, _ = gather_augment_u8(img_u8, gt_u8, idx_unlab_l,
-                                             jax.random.fold_in(k, 101))
+            unlab_img, unlab_gt = gather_augment_u8(img_u8, gt_u8, idx_unlab_l,
+                                                    jax.random.fold_in(k, 101))
         else:
-            unlab_img, _ = normalize_gather(img_u8, gt_u8, idx_unlab_l)
+            unlab_img, unlab_gt = normalize_gather(img_u8, gt_u8, idx_unlab_l)
 
         def total_loss(params):
-            bs = carry["batch_stats"]
-            lab_logits, bs = vapply_own(params, bs, lab_img)
-            sup_each = jax.vmap(sup_loss)(lab_logits, lab_gt)   # (K_local,)
-            supervised = jnp.sum(sup_each)
-
-            jsd_loss = jnp.zeros((), lab_logits.dtype)
-            if train_jsd:
-                u_logits, bs = vapply_shared(params, bs, unlab_img)
-                my_probs = jax.nn.softmax(u_logits, axis=-1)    # (K_local,...)
+            bs0 = carry["batch_stats"]
+            unlab_logits = None
+            if (train_jsd and fuse_forward and bn_m is not None
+                    and lab_img.shape[1] == unlab_img.shape[0]):
+                # fused two-group forward per LOCAL stack (same exact
+                # semantics as train/steps.py fuse_forward: vmap keeps BN
+                # statistics per (model, group); the two sequential
+                # running-stat updates compose as r2 = m·ra_lab + ra_unlab
+                # − m·r0 since both per-group updates were taken against r0)
+                merged = jnp.stack(
+                    [lab_img,
+                     jnp.broadcast_to(unlab_img[None], lab_img.shape)],
+                    axis=1)                       # (K_local,2,B,H,W,1)
+                logits_kg, bs_kg = vapply_grouped(params, bs0, merged)
+                lab_logits = logits_kg[:, 0]
+                unlab_logits = logits_kg[:, 1]
+                bs = jax.tree_util.tree_map(
+                    lambda kg, r0: bn_m * kg[:, 0] + kg[:, 1] - bn_m * r0,
+                    bs_kg, bs0)
+                sup_each = jax.vmap(sup_loss)(lab_logits, lab_gt)
+                supervised = jnp.sum(sup_each)
+                my_probs = jax.nn.softmax(unlab_logits, axis=-1)
                 all_probs = jax.lax.all_gather(my_probs, "model")
                 all_probs = all_probs.reshape((K,) + all_probs.shape[2:])
                 jsd_loss = jnp.mean(jsd_2d(all_probs))
                 jsd_loss = jax.lax.pmean(jsd_loss, "data")
+            else:
+                bs = bs0
+                lab_logits, bs = vapply_own(params, bs, lab_img)
+                sup_each = jax.vmap(sup_loss)(lab_logits, lab_gt)  # (K_local,)
+                supervised = jnp.sum(sup_each)
+
+                jsd_loss = jnp.zeros((), lab_logits.dtype)
+                if train_jsd:
+                    unlab_logits, bs = vapply_shared(params, bs, unlab_img)
+                    my_probs = jax.nn.softmax(unlab_logits, axis=-1)
+                    all_probs = jax.lax.all_gather(my_probs, "model")
+                    all_probs = all_probs.reshape((K,) + all_probs.shape[2:])
+                    jsd_loss = jnp.mean(jsd_2d(all_probs))
+                    jsd_loss = jax.lax.pmean(jsd_loss, "data")
 
             adv_loss = jnp.zeros((), lab_logits.dtype)
             if train_adv:
@@ -184,7 +219,8 @@ def make_shard_cotrain_epoch(seg: Segmentator, mesh: Mesh, K: int, C: int,
                      + lam_adv * adv_loss)
             return total, {"sup_each": sup_each, "jsd": jsd_loss,
                            "adv": adv_loss, "batch_stats": bs,
-                           "lab_logits": lab_logits}
+                           "lab_logits": lab_logits,
+                           "unlab_logits": unlab_logits}
 
         (_, aux), grads = jax.value_and_grad(total_loss, has_aux=True)(
             carry["params"])
@@ -200,13 +236,20 @@ def make_shard_cotrain_epoch(seg: Segmentator, mesh: Mesh, K: int, C: int,
         from ..train.steps import _dice_rows
         lab_dice = jax.vmap(_dice_rows, in_axes=(0, 0, None))(
             aux["lab_logits"], lab_gt, C)           # (K_local, B_l, C)
+        if train_jsd:
+            unlab_dice = jax.vmap(_dice_rows, in_axes=(0, None, None))(
+                aux["unlab_logits"], unlab_gt, C)   # (K_local, Bu_l, C)
+        else:
+            unlab_dice = jnp.zeros((K_local, unlab_gt.shape[0], C),
+                                   lab_dice.dtype)
         # metrics carry a K_local model axis so out_specs can concatenate it
         # to K; jsd is identical across shards, adv is scaled so the host's
         # sum over the K axis reconstructs the per-iteration total
         metrics = {"sup_loss": jax.lax.pmean(aux["sup_each"], "data"),
                    "jsd_loss": jnp.broadcast_to(aux["jsd"], (K_local,)),
                    "adv_loss": jnp.broadcast_to(aux["adv"] / K_local, (K_local,)),
-                   "lab_dice": jax.lax.pmean(lab_dice, "data")}
+                   "lab_dice": jax.lax.pmean(lab_dice, "data"),
+                   "unlab_dice": jax.lax.pmean(unlab_dice, "data")}
         return new_carry, metrics
 
     def shard_body(state_l, img_u8, gt_u8, idx_lab_l, idx_unlab_l, pairs, keys,
@@ -217,7 +260,8 @@ def make_shard_cotrain_epoch(seg: Segmentator, mesh: Mesh, K: int, C: int,
                             (idx_lab_l, idx_unlab_l, pairs, keys))
 
     metric_specs = {"sup_loss": P(None, "model"), "jsd_loss": P(None, "model"),
-                    "adv_loss": P(None, "model"), "lab_dice": P(None, "model")}
+                    "adv_loss": P(None, "model"), "lab_dice": P(None, "model"),
+                    "unlab_dice": P(None, "model")}
     sharded = jax.shard_map(
         shard_body, mesh=mesh,
         in_specs=(state_specs, P(), P(),

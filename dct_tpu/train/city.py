@@ -226,7 +226,8 @@ class CoTrainerCity:
                  iters_per_epoch: Optional[int] = None,
                  seed: int = 1234,
                  augmentations: Optional[dict] = None,
-                 whole_config: Optional[dict] = None) -> None:
+                 whole_config: Optional[dict] = None,
+                 mesh=None) -> None:
         assert len(segmentators) == len(labeled_datasets)
         self.K = len(segmentators)
         self.segmentators = segmentators
@@ -257,10 +258,26 @@ class CoTrainerCity:
         self.eps_vat = float(adv_cfg.get("vat_eplision", adv_cfg.get("eplision", 10.0)))
         self.fsgm_ratio = float(adv_cfg.get("fsgm_ratio", 0.5))
 
-        self.lab_dev = [DeviceDataset(d) for d in labeled_datasets]
-        self.unlab_dev = DeviceDataset(unlabeled_dataset)
+        # optional GSPMD DP over the batch axis (the DataParallel the
+        # reference applies to every trainer's model,
+        # ref:models/segmentators.py:34-36) — the 512×1024 city config is
+        # the most compute-hungry one, so this trainer shards too. The K
+        # model axis stays vmapped/replicated (model-parallel city would
+        # need a shard_map port of the two-direction adv mix).
+        self.mesh = mesh
+        rep = None
+        if mesh is not None:
+            assert mesh.shape.get("model", 1) == 1, \
+                "CoTrainerCity supports data-only meshes (model axis == 1)"
+            assert batch_size % mesh.shape["data"] == 0, \
+                (batch_size, dict(mesh.shape))
+            from jax.sharding import NamedSharding, PartitionSpec
+            rep = NamedSharding(mesh, PartitionSpec())
+
+        self.lab_dev = [DeviceDataset(d, sharding=rep) for d in labeled_datasets]
+        self.unlab_dev = DeviceDataset(unlabeled_dataset, sharding=rep)
         self.val_set = val_dataset
-        self.val_dev = DeviceDataset(val_dataset)
+        self.val_dev = DeviceDataset(val_dataset, sharding=rep)
         self.lab_batchers = [InfiniteBatcher(len(d), batch_size, self.rs)
                              for d in labeled_datasets]
         self.unlab_batcher = InfiniteBatcher(len(unlabeled_dataset), batch_size,
@@ -290,6 +307,9 @@ class CoTrainerCity:
         self.stacked_state = {"params": stacked["params"],
                               "batch_stats": stacked["batch_stats"],
                               "opt_state": self.seg.tx.init(stacked["params"])}
+        if mesh is not None:
+            from ..parallel.mesh import place_replicated
+            self.stacked_state = place_replicated(mesh, self.stacked_state)
         self._epoch_fns: Dict = {}
         if checkpoint is not None:
             self._load_checkpoint(checkpoint)
@@ -323,6 +343,13 @@ class CoTrainerCity:
                                       for _ in range(self.K)],
                                      axis=1).astype(np.int32)
             flags = (self.rs.rand(T, 2) <= self.fsgm_ratio)
+            if self.mesh is not None:
+                from ..parallel.mesh import dp_shard_idx, place_replicated
+                idx_lab = dp_shard_idx(self.mesh, idx_lab)          # (T,K,B)
+                idx_unlab = dp_shard_idx(self.mesh, idx_unlab)      # (T,Bu)
+                idx_adv_lab = dp_shard_idx(self.mesh, idx_adv_lab)
+                idx_adv_unlab = dp_shard_idx(self.mesh, idx_adv_unlab)
+                flags = place_replicated(self.mesh, flags)
 
             self.stacked_state, m = epoch_fn(
                 self.stacked_state, self._img_cat, self._gt_cat,

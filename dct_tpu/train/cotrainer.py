@@ -171,7 +171,8 @@ class CoTrainer:
                 fn = make_shard_cotrain_epoch(
                     self.seg, self.mesh, self.K, self.C, self.criterions["sup"],
                     train_jsd, train_adv, aug_lab, self.eps_fgsm,
-                    state_template=self.stacked_state)
+                    state_template=self.stacked_state,
+                    fuse_forward=self.fuse_forward)
                 self._epoch_fns[sig] = ("shard", fn)
             else:
                 fn = make_cotrain_epoch(

@@ -130,7 +130,8 @@ class MeanTeacherTrainer:
                  grp_regex: str = DEFAULT_GRP_REGEX,
                  ema_alpha: float = 0.99,
                  seed: int = 1234,
-                 whole_config: Optional[dict] = None) -> None:
+                 whole_config: Optional[dict] = None,
+                 mesh=None) -> None:
         self.student = student_segmentator
         self.teacher = teacher_segmentator
         self.criterions = criterions
@@ -152,10 +153,23 @@ class MeanTeacherTrainer:
                                    "max_epoch": 80, "max_value": 1.0,
                                    "ramp_mult": -5})
 
-        self.lab_dev = DeviceDataset(labeled_dataset)
-        self.unlab_dev = DeviceDataset(unlabeled_dataset)
+        # optional GSPMD DP (ref wraps every trainer's model in DataParallel,
+        # ref:models/segmentators.py:34-36): data replicated, per-epoch batch
+        # indices sharded over 'data' in start_training
+        self.mesh = mesh
+        rep = None
+        if mesh is not None:
+            assert mesh.shape.get("model", 1) == 1, \
+                "MeanTeacherTrainer is single-model: use a data-only mesh"
+            assert batch_size % mesh.shape["data"] == 0, \
+                (batch_size, dict(mesh.shape))
+            from jax.sharding import NamedSharding, PartitionSpec
+            rep = NamedSharding(mesh, PartitionSpec())
+
+        self.lab_dev = DeviceDataset(labeled_dataset, sharding=rep)
+        self.unlab_dev = DeviceDataset(unlabeled_dataset, sharding=rep)
         self.val_set = val_dataset
-        self.val_dev = DeviceDataset(val_dataset)
+        self.val_dev = DeviceDataset(val_dataset, sharding=rep)
         self.lab_batcher = InfiniteBatcher(len(labeled_dataset), batch_size, self.rs)
         self.unlab_batcher = InfiniteBatcher(len(unlabeled_dataset), batch_size, self.rs)
         self.iters_per_epoch = max(len(labeled_dataset) // batch_size, 1)
@@ -172,6 +186,9 @@ class MeanTeacherTrainer:
         self.state = {"student": dict(self.student.state),
                       "teacher": {"params": self.teacher.state["params"],
                                   "batch_stats": self.teacher.state["batch_stats"]}}
+        if mesh is not None:
+            from ..parallel.mesh import place_replicated
+            self.state = place_replicated(mesh, self.state)
         if checkpoint is not None:
             self._load_checkpoint(checkpoint)
 
@@ -184,6 +201,10 @@ class MeanTeacherTrainer:
             idx_lab = self.lab_batcher.take(T).astype(np.int32)
             idx_unlab = (self._unlab_offset
                          + self.unlab_batcher.take(T)).astype(np.int32)
+            if self.mesh is not None:
+                from ..parallel.mesh import dp_shard_idx
+                idx_lab = dp_shard_idx(self.mesh, idx_lab)
+                idx_unlab = dp_shard_idx(self.mesh, idx_unlab)
             key = jax.random.fold_in(self.root_key, epoch)
             self.state, m = self.epoch_fn(self.state, self._img_cat, self._gt_cat,
                                           idx_lab, idx_unlab, key,

@@ -44,7 +44,8 @@ class Trainer:
                  batch_size: int = 4,
                  grp_regex: str = DEFAULT_GRP_REGEX,
                  seed: int = 1234,
-                 whole_config: Optional[dict] = None) -> None:
+                 whole_config: Optional[dict] = None,
+                 mesh=None) -> None:
         self.segmentator = segmentator
         self.criterion = criterion
         self.max_epoch = max_epoch
@@ -62,10 +63,26 @@ class Trainer:
         self.rs = np.random.RandomState(seed)
         self.root_key = jax.random.PRNGKey(seed)
 
+        # optional GSPMD data parallelism: batch indices sharded over the
+        # mesh 'data' axis, params/data replicated — the partitioner inserts
+        # the gradient psum (the DataParallel the reference applies to EVERY
+        # trainer's model, ref:models/segmentators.py:34-36)
+        self.mesh = mesh
+        rep = None
+        if mesh is not None:
+            assert mesh.shape.get("model", 1) == 1, \
+                "supervised Trainer is single-model: use a data-only mesh"
+            assert batch_size % mesh.shape["data"] == 0, \
+                (batch_size, dict(mesh.shape))
+            from ..parallel.mesh import place_replicated
+            self.segmentator.state = place_replicated(mesh, self.segmentator.state)
+            from jax.sharding import NamedSharding, PartitionSpec
+            rep = NamedSharding(mesh, PartitionSpec())
+
         self.train_set = datasets["train"]
         self.val_set = datasets["val"]
-        self.train_dev = DeviceDataset(self.train_set)
-        self.val_dev = DeviceDataset(self.val_set)
+        self.train_dev = DeviceDataset(self.train_set, sharding=rep)
+        self.val_dev = DeviceDataset(self.val_set, sharding=rep)
         self.batcher = EpochBatcher(len(self.train_set), batch_size)
         self.val_buckets = PatientBuckets(self.val_set, grp_regex)
         self.eval_step = make_eval_patient_step(segmentator, self.C)
@@ -124,6 +141,9 @@ class Trainer:
     # ------------------------------------------------------------------
     def _train_epoch(self, epoch: int, augment: bool) -> Dict:
         idx = self.batcher.epoch(self.rs)
+        if self.mesh is not None:
+            from ..parallel.mesh import dp_shard_idx
+            idx = dp_shard_idx(self.mesh, idx)
         key = jax.random.fold_in(self.root_key, epoch)
         lr = self.segmentator.lr(epoch)
         t0 = time.time()

@@ -106,7 +106,8 @@ class VatTrainer:
                  batch_size: int = 4,
                  grp_regex: str = DEFAULT_GRP_REGEX,
                  seed: int = 1234,
-                 whole_config: Optional[dict] = None) -> None:
+                 whole_config: Optional[dict] = None,
+                 mesh=None) -> None:
         self.segmentator = segmentator
         self.criterion = criterion
         self.max_epoch = max_epoch
@@ -129,10 +130,24 @@ class VatTrainer:
         self.xi = float(adv_cfg.get("xi", 1e-6))
         self.ip = int(adv_cfg.get("ip", 1))
 
-        self.lab_dev = DeviceDataset(labeled_dataset)
-        self.unlab_dev = DeviceDataset(unlabeled_dataset)
+        # optional GSPMD DP (ref wraps every trainer's model in DataParallel,
+        # ref:models/segmentators.py:34-36)
+        self.mesh = mesh
+        rep = None
+        if mesh is not None:
+            assert mesh.shape.get("model", 1) == 1, \
+                "VatTrainer is single-model: use a data-only mesh"
+            assert batch_size % mesh.shape["data"] == 0, \
+                (batch_size, dict(mesh.shape))
+            from ..parallel.mesh import place_replicated
+            self.segmentator.state = place_replicated(mesh, self.segmentator.state)
+            from jax.sharding import NamedSharding, PartitionSpec
+            rep = NamedSharding(mesh, PartitionSpec())
+
+        self.lab_dev = DeviceDataset(labeled_dataset, sharding=rep)
+        self.unlab_dev = DeviceDataset(unlabeled_dataset, sharding=rep)
         self.val_set = val_dataset
-        self.val_dev = DeviceDataset(val_dataset)
+        self.val_dev = DeviceDataset(val_dataset, sharding=rep)
         self.lab_batcher = InfiniteBatcher(len(labeled_dataset), batch_size, self.rs)
         self.unlab_batcher = InfiniteBatcher(len(unlabeled_dataset), batch_size, self.rs)
         self.iters_per_epoch = max(len(labeled_dataset) // batch_size, 1)
@@ -171,6 +186,10 @@ class VatTrainer:
             idx_lab = self.lab_batcher.take(T).astype(np.int32)
             idx_unlab = (self._unlab_offset
                          + self.unlab_batcher.take(T)).astype(np.int32)
+            if self.mesh is not None:
+                from ..parallel.mesh import dp_shard_idx
+                idx_lab = dp_shard_idx(self.mesh, idx_lab)
+                idx_unlab = dp_shard_idx(self.mesh, idx_unlab)
             self_state = self.segmentator.state
             new_state, m = self._epoch_fn(adv_on, augment_labeled_data,
                                           augment_unlabeled_data)(

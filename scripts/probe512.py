@@ -6,7 +6,12 @@ spleen-shaped step: ENet, 2 classes, 1 channel, 512x512) on the default
 platform and prints per-iteration losses, so crashes / NaNs can be bisected
 by remat and batch size:
 
-    python -u scripts/probe512.py [remat=0|1] [batch=2] [iters=5] [res=512]
+    python -u scripts/probe512.py [remat=0|1] [batch=2] [iters=5] [res=512] \
+        [fuse=0|1] [aug=0|1] [dtype=bfloat16|float32] [trace=/path]
+
+Round-4 use: the 512² step-decomposition ladder (VERDICT r3 item 7) —
+aug on/off × fuse_forward on/off × bf16/fp32 at batch 4, plus an optional
+jax.profiler trace of the steady-state epoch.
 
 History (BASELINE.md "512x512 on the tunnel chip", 2026-08-17): two full-run
 worker crashes, one compile-helper SIGKILL, and an iteration-0 adv-term NaN
@@ -28,6 +33,9 @@ def main(argv):
     kv = dict(a.split("=", 1) for a in argv)
     remat = bool(int(kv.get("remat", "1")))
     fuse = bool(int(kv.get("fuse", "1")))
+    aug = bool(int(kv.get("aug", "1")))
+    dtype = kv.get("dtype", "bfloat16")
+    trace_dir = kv.get("trace")
     B = int(kv.get("batch", "2"))
     T = int(kv.get("iters", "5"))
     H = W = int(kv.get("res", "512"))
@@ -40,10 +48,11 @@ def main(argv):
     from dct_tpu.train.steps import make_cotrain_epoch
 
     print(f"devices={jax.devices()} remat={remat} batch={B} iters={T} "
-          f"res={H} fuse={fuse}", flush=True)
+          f"res={H} fuse={fuse} aug={aug} dtype={dtype}", flush=True)
 
     K, C = 2, 2  # spleen: background + spleen
-    segs = [Segmentator({"name": "enet", "num_classes": C, "remat": remat},
+    segs = [Segmentator({"name": "enet", "num_classes": C, "remat": remat,
+                         "compute_dtype": dtype},
                         {"name": "Adam", "lr": 1e-3, "weight_decay": 1e-4},
                         {"name": "StepLR", "step_size": 90, "gamma": 0.1},
                         jax.random.PRNGKey(i), input_shape=(1, H, W, 1))
@@ -70,8 +79,8 @@ def main(argv):
 
     epoch_fn = make_cotrain_epoch(seg, K, C, get_loss_fn("cross_entropy"),
                                   train_jsd=True, train_adv=True,
-                                  augment_labeled=True, augment_unlabeled=True,
-                                  eps_fgsm=0.03, fuse_aug="merged",
+                                  augment_labeled=aug, augment_unlabeled=aug,
+                                  eps_fgsm=0.03, fuse_aug="merged" if aug else False,
                                   fuse_forward=fuse)
     t0 = time.time()
     new_state, metrics = epoch_fn(state, img_u8, gt_u8, idx_lab, idx_unlab,
@@ -84,12 +93,17 @@ def main(argv):
     print(f"compile+run: {dt:.1f}s", flush=True)
 
     # steady-state timing (second call hits the compile cache)
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
     t0 = time.time()
     new_state, metrics = epoch_fn(new_state, img_u8, gt_u8, idx_lab,
                                   idx_unlab, pairs, jax.random.PRNGKey(1),
                                   1e-3, 0.5, 0.05)
     np.asarray(metrics["sup_loss"])
     dt = time.time() - t0
+    if trace_dir:
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {trace_dir}", flush=True)
     images = (K * B + B) * T
     print(f"steady: {dt:.2f}s = {1e3 * dt / T:.0f} ms/iter, "
           f"{images / dt:.1f} img/s", flush=True)
@@ -97,8 +111,8 @@ def main(argv):
         print(f"iter {t}: sup={np.ravel(sup[t])} jsd={np.ravel(jsd[t])} "
               f"adv={np.ravel(adv[t])}", flush=True)
     ok = np.isfinite(sup).all() and np.isfinite(jsd).all() and np.isfinite(adv).all()
-    print(f"RESULT remat={remat} batch={B} res={H}: "
-          f"{'CLEAN' if ok else 'NAN'}", flush=True)
+    print(f"RESULT remat={remat} batch={B} res={H} fuse={fuse} aug={aug} "
+          f"dtype={dtype}: {'CLEAN' if ok else 'NAN'}", flush=True)
     return 0 if ok else 2
 
 

@@ -1,0 +1,149 @@
+"""GSPMD data-parallel meshes for the non-co-training trainers.
+
+The reference wraps EVERY trainer's model in nn.DataParallel
+(ref:generalframework/models/segmentators.py:34-36), so supervised / MT /
+VAT / city trainers are all multi-device capable. These tests run each
+trainer end-to-end on a fake-device CPU mesh (conftest forces 8 virtual
+devices) with ``mesh=`` and check (a) it executes train+eval+checkpoint,
+(b) for the supervised trainer, the DP trajectory matches the single-device
+one up to fp32 reassociation noise (same global batch, same augmentation
+keys, global-batch BN — GSPMD DP is a layout change, not a semantics
+change).
+"""
+import jax
+import numpy as np
+import pytest
+
+from dct_tpu.data import MedicalImageDataset
+from dct_tpu.losses import get_loss_fn
+from dct_tpu.models import Segmentator
+from dct_tpu.parallel.mesh import make_mesh
+from dct_tpu.train import MeanTeacherTrainer, Trainer, VatTrainer
+
+from helpers import make_synthetic_acdc
+
+ADAM = {"name": "Adam", "lr": 1e-3, "weight_decay": 1e-4}
+STEP = {"name": "StepLR", "step_size": 90, "gamma": 0.1}
+ARCH = {"name": "enet", "num_classes": 4}
+
+
+@pytest.fixture(scope="module")
+def acdc_root(tmp_path_factory):
+    return make_synthetic_acdc(tmp_path_factory.mktemp("acdc_dp"), size=32)
+
+
+@pytest.fixture(scope="module")
+def datasets(acdc_root):
+    tr = MedicalImageDataset(acdc_root, "train", transform=(32, 32), quite=True)
+    va = MedicalImageDataset(acdc_root, "val", transform=(32, 32), quite=True)
+    return {"train": tr, "val": va}
+
+
+def test_supervised_dp_matches_single(datasets, tmp_path):
+    # SGD, not Adam: Adam's g/(√v+ε) normalization amplifies fp32
+    # reassociation noise into real trajectory divergence over an epoch of
+    # steps, which says nothing about the DP lowering being tested; under
+    # SGD the per-step param delta is lr·grad-noise and parity stays tight.
+    sgd = {"name": "SGD", "lr": 0.05, "weight_decay": 0.0}
+
+    def run(mesh, name):
+        seg = Segmentator(ARCH, sgd, STEP, jax.random.PRNGKey(0),
+                          input_shape=(1, 32, 32, 1))
+        tr = Trainer(seg, datasets, get_loss_fn("cross_entropy"),
+                     max_epoch=2, save_dir=tmp_path / name, batch_size=4,
+                     axises=[1, 2, 3], seed=7, mesh=mesh)
+        return tr.start_training(augment_labeled_data=True)
+
+    df_one = run(None, "single")
+    df_dp = run(make_mesh(4, n_model=1), "dp")
+    # same batches, same augmentation keys, global-batch BN → only fp32
+    # reassociation separates the two trajectories. Losses are continuous in
+    # the logits and stay tight; dice goes through an argmax, so borderline
+    # pixels flip discretely (measured ~6e-3 on this tiny synthetic fg) —
+    # compared at a discretization-sized tolerance.
+    for col in ("train_loss", "val_loss"):
+        np.testing.assert_allclose(df_one[col].values, df_dp[col].values,
+                                   rtol=5e-3, atol=5e-4, err_msg=col)
+    for col in ("val_dice_1", "val_batch_dice_1"):
+        np.testing.assert_allclose(df_one[col].values, df_dp[col].values,
+                                   atol=2e-2, err_msg=col)
+    assert (tmp_path / "dp" / "best.ckpt").exists()
+
+
+def test_mean_teacher_dp(datasets, tmp_path):
+    lab = datasets["train"].filter_by_patterns(
+        [f"patient{p:03d}" for p in (1, 2, 3)])
+    unlab = datasets["train"].filter_by_patterns(
+        [f"patient{p:03d}" for p in range(4, 8)])
+    student = Segmentator(ARCH, ADAM, STEP, jax.random.PRNGKey(0),
+                          input_shape=(1, 32, 32, 1))
+    teacher = Segmentator(ARCH, ADAM, STEP, jax.random.PRNGKey(0),
+                          input_shape=(1, 32, 32, 1))
+    mt = MeanTeacherTrainer(
+        student, teacher, lab, unlab, datasets["val"],
+        {"sup": get_loss_fn("cross_entropy"), "con": get_loss_fn("mse_2d")},
+        max_epoch=1, save_dir=tmp_path / "mt", batch_size=4,
+        axises=[1, 2, 3], mesh=make_mesh(2, n_model=1))
+    df = mt.start_training()
+    assert len(df) == 1
+    assert np.isfinite(df["tra_student_loss"]).all()
+    assert np.isfinite(df["tra_con_loss"]).all()
+    assert 0.0 <= df["val_teacher_2d_dice_1"].iloc[0] <= 1.0
+    assert (tmp_path / "mt" / "last.ckpt").exists()
+
+
+def test_vat_dp(datasets, tmp_path):
+    lab = datasets["train"].filter_by_patterns(
+        [f"patient{p:03d}" for p in (1, 2, 3)])
+    unlab = datasets["train"].filter_by_patterns(
+        [f"patient{p:03d}" for p in range(4, 8)])
+    seg = Segmentator(ARCH, ADAM, STEP, jax.random.PRNGKey(0),
+                      input_shape=(1, 32, 32, 1))
+    vt = VatTrainer(
+        seg, lab, unlab, datasets["val"], get_loss_fn("cross_entropy"),
+        max_epoch=1, save_dir=tmp_path / "vat", batch_size=4,
+        axises=[1, 2, 3],
+        adv_scheduler_dict={"name": "ConstantScheduler", "begin_epoch": 0,
+                            "max_value": 0.05},
+        adv_training_dict={"eplision": 0.05},
+        mesh=make_mesh(2, n_model=1))
+    df = vt.start_training(train_adv=True)
+    assert len(df) == 1
+    assert np.isfinite(df["adv_loss"]).all()
+    assert (tmp_path / "vat" / "last.ckpt").exists()
+
+
+def test_city_cotrainer_dp(tmp_path, tmp_path_factory):
+    from dct_tpu.data.cityscapes import NUM_CLASSES, get_cityscapes_split
+    from dct_tpu.train import CoTrainerCity
+    from test_cityscapes import make_synthetic_city
+
+    city_root = make_synthetic_city(tmp_path_factory.mktemp("city_dp"))
+    config = {"Dataset": {"root_dir": str(city_root),
+                          "image_size": (32, 32), "subsample": 1},
+              "Lab_Partitions": {"num_models": 2, "partition_sets": 0.5,
+                                 "partition_overlap": 0.5},
+              "Seed": 1}
+    labeled, unlab, val = get_cityscapes_split(config)
+    segs = [Segmentator({"name": "enet", "num_classes": NUM_CLASSES,
+                         "in_channels": 3}, ADAM, STEP,
+                        jax.random.PRNGKey(i), input_shape=(1, 32, 32, 3))
+            for i in range(2)]
+    sup = get_loss_fn("cross_entropy", ignore_index=250)
+    ct = CoTrainerCity(
+        segs, labeled, unlab, val,
+        {"sup": sup, "jsd": get_loss_fn("jsd"), "adv": get_loss_fn("jsd")},
+        max_epoch=1, save_dir=tmp_path / "city_dp",
+        adv_scheduler_dict={"name": "ConstantScheduler", "begin_epoch": 0,
+                            "max_value": 0.05},
+        cot_scheduler_dict={"name": "ConstantScheduler", "begin_epoch": 0,
+                            "max_value": 0.5},
+        adv_training_dict={"eplision": 0.03, "fsgm_ratio": 0.5},
+        batch_size=2, iters_per_epoch=2,
+        mesh=make_mesh(2, n_model=1))
+    df = ct.start_training(train_jsd=True, train_adv=True)
+    assert len(df) == 1
+    assert np.isfinite(df["jsd_loss"]).all()
+    assert np.isfinite(df["adv_loss"]).all()
+    assert 0.0 <= df["val_mIoU_0"].iloc[0] <= 1.0
+    assert (tmp_path / "city_dp" / "best_0.ckpt").exists()

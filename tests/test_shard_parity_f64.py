@@ -65,6 +65,7 @@ def test_inner_f64():
     state_a = {"params": st["params"], "batch_stats": st["batch_stats"],
                "opt_state": seg.tx.init(st["params"])}
     state_b = jax.tree_util.tree_map(jnp.copy, state_a)
+    state_c = jax.tree_util.tree_map(jnp.copy, state_a)
 
     rs = np.random.RandomState(0)
     N = 32
@@ -87,6 +88,27 @@ def test_inner_f64():
                                         state_template=state_b)
     new_b, m_b = shard_fn(state_b, img, gt, idx_lab, idx_unlab, pairs, key,
                           1e-3, 0.5, 0.05)
+    # fused two-group forward under the mesh (the default) vs the sequential
+    # shard path: composed BN running-stat update must match to f64 noise
+    shard_seq = make_shard_cotrain_epoch(seg, mesh, K, 4,
+                                         get_loss_fn("cross_entropy"),
+                                         True, True, False, 0.03,
+                                         state_template=state_c,
+                                         fuse_forward=False)
+    new_c, _ = shard_seq(state_c, img, gt, idx_lab, idx_unlab, pairs, key,
+                         1e-3, 0.5, 0.05)
+    worst_fuse = max(float(np.abs(np.asarray(pb) - np.asarray(pc)).max())
+                     for pb, pc in zip(jax.tree_util.tree_leaves(new_b["params"]),
+                                       jax.tree_util.tree_leaves(new_c["params"])))
+    assert worst_fuse < 1e-6, worst_fuse
+    worst_bs = max(float(np.abs(np.asarray(pb) - np.asarray(pc)).max())
+                   for pb, pc in zip(
+                       jax.tree_util.tree_leaves(new_b["batch_stats"]),
+                       jax.tree_util.tree_leaves(new_c["batch_stats"])))
+    # batch_stats are stored f32 (scan-carry dtype stability) → f32 rounding
+    assert worst_bs < 1e-5, worst_bs
+    print(f"shard fused-vs-seq parity: params {worst_fuse:.2e}, "
+          f"batch_stats {worst_bs:.2e}")
 
     # logits are cast back to f32 at the apply boundary, so reported losses
     # carry f32 reduction noise; the conv/optimizer math underneath is f64

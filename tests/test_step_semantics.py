@@ -172,12 +172,19 @@ def test_static_pair_matches_dynamic(rng):
     """K=2 specializes the adversarial pair to static (0, 1) indices
     (steps.py: sorted 2-of-2 draw is always (0,1), ref::235-242) so the
     per-leaf take_model/put_model lower to free slices. Static and traced
-    indexing are the same math — the trajectories must agree bit-exactly."""
+    indexing are the same math, but static slices legally change XLA
+    fusion/reassociation, so the trajectories agree to fp32 reassociation
+    noise (~2e-7 on losses), not bit-exactly. The comparison runs under SGD:
+    Adam's grad normalization g/(√v+ε) amplifies near-zero reassociation
+    noise to O(1) relative direction flips (measured up to 7.6e-3 abs on
+    near-zero leaves after 2 steps), which says nothing about the indexing
+    semantics being tested; SGD keeps the param delta at lr·grad-noise."""
     from dct_tpu.models import stack_states
     from dct_tpu.train.steps import make_cotrain_epoch
 
     Kk, Bb, T, N = 2, 3, 2, 24
-    segs = [Segmentator({"name": "enet", "num_classes": 4}, ADAM, STEP,
+    SGD = {"name": "SGD", "lr": 1e-2, "weight_decay": 0.0}
+    segs = [Segmentator({"name": "enet", "num_classes": 4}, SGD, STEP,
                         jax.random.PRNGKey(i), input_shape=(1, H, H, 1))
             for i in range(Kk)]
     seg = segs[0]
@@ -206,10 +213,11 @@ def test_static_pair_matches_dynamic(rng):
     new_d, m_d = dynamic(fresh_state(), *args)
 
     for name in ("sup_loss", "jsd_loss", "adv_loss"):
-        np.testing.assert_array_equal(np.asarray(m_s[name]),
-                                      np.asarray(m_d[name]), err_msg=name)
+        np.testing.assert_allclose(np.asarray(m_s[name]),
+                                   np.asarray(m_d[name]),
+                                   rtol=1e-5, atol=1e-7, err_msg=name)
     for which in ("params", "batch_stats"):
         for pa, pb in zip(jax.tree_util.tree_leaves(new_s[which]),
                           jax.tree_util.tree_leaves(new_d[which])):
-            np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb),
-                                          err_msg=which)
+            np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                       rtol=1e-4, atol=1e-5, err_msg=which)

@@ -57,6 +57,13 @@ def main(argv=None) -> CoTrainerCity:
     criterions = {"sup": sup, "jsd": get_loss_fn("jsd"), "adv": get_loss_fn("jsd")}
 
     trainer_cfg = config["Trainer"]
+    # Trainer.parallel: any value → data-only GSPMD DP mesh over all chips
+    mesh = None
+    if trainer_cfg.get("parallel") is not None:
+        from dct_tpu.parallel import data_parallel_mesh
+        mesh = data_parallel_mesh()
+        if mesh is not None:
+            print(f">> parallel mesh: {dict(mesh.shape)}")
     trainer = CoTrainerCity(
         segs, labeled, unlab, val, criterions,
         max_epoch=int(trainer_cfg["max_epoch"]),
@@ -70,6 +77,7 @@ def main(argv=None) -> CoTrainerCity:
         seed=int(config.get("Seed", 1234)),
         augmentations=config["Dataset"].get("augmentations"),
         whole_config=config,
+        mesh=mesh,
     )
     st = {k: v for k, v in config.get("StartTraining", {}).items()
           if k in ("train_jsd", "train_adv", "save_val")}

@@ -44,6 +44,13 @@ def main(argv=None) -> MeanTeacherTrainer:
         grp_regex = bs_cfg[1]["grp_regex"]
 
     trainer_cfg = config["Trainer"]
+    # Trainer.parallel: any value → data-only GSPMD DP mesh over all chips
+    mesh = None
+    if trainer_cfg.get("parallel") is not None:
+        from dct_tpu.parallel import data_parallel_mesh
+        mesh = data_parallel_mesh()
+        if mesh is not None:
+            print(f">> parallel mesh: {dict(mesh.shape)}")
     trainer = MeanTeacherTrainer(
         student_segmentator=student,
         teacher_segmentator=teacher,
@@ -61,6 +68,7 @@ def main(argv=None) -> MeanTeacherTrainer:
         grp_regex=grp_regex,
         seed=int(config.get("Seed", 1234)),
         whole_config=config,
+        mesh=mesh,
     )
     trainer.start_training()
     return trainer

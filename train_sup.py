@@ -44,6 +44,13 @@ def main(argv=None) -> Trainer:
         grp_regex = bs_cfg[1]["grp_regex"]
 
     trainer_cfg = config["Trainer"]
+    # Trainer.parallel: any value → data-only GSPMD DP mesh over all chips
+    mesh = None
+    if trainer_cfg.get("parallel") is not None:
+        from dct_tpu.parallel import data_parallel_mesh
+        mesh = data_parallel_mesh()
+        if mesh is not None:
+            print(f">> parallel mesh: {dict(mesh.shape)}")
     trainer = Trainer(
         seg, datasets, criterion,
         max_epoch=int(trainer_cfg["max_epoch"]),
@@ -55,6 +62,7 @@ def main(argv=None) -> Trainer:
         grp_regex=grp_regex,
         seed=int(config.get("Seed", 1234)),
         whole_config=config,
+        mesh=mesh,
     )
     trainer.start_training(**config.get("StartTraining", {}))
     return trainer

@@ -42,6 +42,13 @@ def main(argv=None) -> TrainerCity:
     criterion = get_loss_fn(loss_cfg.pop("name"), **loss_cfg)
 
     trainer_cfg = config["Trainer"]
+    # Trainer.parallel: any value → data-only GSPMD DP mesh over all chips
+    mesh = None
+    if trainer_cfg.get("parallel") is not None:
+        from dct_tpu.parallel import data_parallel_mesh
+        mesh = data_parallel_mesh()
+        if mesh is not None:
+            print(f">> parallel mesh: {dict(mesh.shape)}")
     trainer = TrainerCity(
         seg, train, train, val, criterion,
         max_epoch=int(trainer_cfg["max_epoch"]),
@@ -52,6 +59,7 @@ def main(argv=None) -> TrainerCity:
         seed=int(config.get("Seed", 1234)),
         augmentations=config["Dataset"].get("augmentations"),
         whole_config=config,
+        mesh=mesh,
     )
     trainer.start_training(**{k: v for k, v in
                               config.get("StartTraining", {}).items()

@@ -38,6 +38,13 @@ def main(argv=None) -> VatTrainer:
         grp_regex = bs_cfg[1]["grp_regex"]
 
     trainer_cfg = config["Trainer"]
+    # Trainer.parallel: any value → data-only GSPMD DP mesh over all chips
+    mesh = None
+    if trainer_cfg.get("parallel") is not None:
+        from dct_tpu.parallel import data_parallel_mesh
+        mesh = data_parallel_mesh()
+        if mesh is not None:
+            print(f">> parallel mesh: {dict(mesh.shape)}")
     trainer = VatTrainer(
         seg, labeled_sets[0], unlab_set, val_set, criterion,
         max_epoch=int(trainer_cfg["max_epoch"]),
@@ -51,6 +58,7 @@ def main(argv=None) -> VatTrainer:
         grp_regex=grp_regex,
         seed=int(config.get("Seed", 1234)),
         whole_config=config,
+        mesh=mesh,
     )
     st = dict(config.get("StartTraining", {}))
     trainer.start_training(**st)
