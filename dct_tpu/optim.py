@@ -79,8 +79,79 @@ def scale_by_adabound(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
     return optax.GradientTransformation(init, update)
 
 
+def flatten_tx(inner: optax.GradientTransformation) -> optax.GradientTransformation:
+    """Run ``inner`` over ONE raveled+concatenated vector per dtype instead of
+    per-leaf.
+
+    Every optimizer built here (Adam/AdamW/SGD/RMSprop/AdaBound ±L2) is purely
+    ELEMENTWISE in (grad, param, moments), so the flat update is bit-identical
+    to the per-leaf update (no reductions cross leaf boundaries; pinned by
+    tests/test_optim_flat.py). The point is op count: an ENet stack is ~200
+    param leaves, and per-leaf Adam emits ~10 tiny elementwise ops per leaf
+    per step — ~2000 ops of a few KB each, on a platform where small-buffer
+    latency (not FLOPs) floors the step (BASELINE.md conv-efficiency study).
+    Flattened, the optimizer is ~10 ops over one ~MB buffer plus one concat
+    and one split per step.
+
+    Leaves are grouped by dtype in ``tree_flatten`` order; moment state lives
+    flat (2 vectors instead of ~400 leaves), which also makes checkpoint
+    packing trivial. Shapes/treedef are re-derived from ``updates`` at each
+    update call, so the state carries only the inner state (a resume restores
+    it against the same param tree).
+    """
+
+    def _buckets(tree):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        order: Dict[Any, list] = {}
+        for i, leaf in enumerate(leaves):
+            order.setdefault(jnp.asarray(leaf).dtype, []).append(i)
+        return leaves, treedef, order
+
+    def _flatten(leaves, order):
+        return {dt: jnp.concatenate([jnp.ravel(leaves[i]) for i in idxs])
+                for dt, idxs in order.items()}
+
+    def _unflatten(flat, leaves, treedef, order):
+        out = [None] * len(leaves)
+        for dt, idxs in order.items():
+            off = 0
+            for i in idxs:
+                n = leaves[i].size
+                out[i] = jax.lax.dynamic_slice_in_dim(
+                    flat[dt], off, n).reshape(leaves[i].shape)
+                off += n
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    def init(params):
+        leaves, _, order = _buckets(params)
+        return inner.init(_flatten(leaves, order))
+
+    def update(updates, state, params=None):
+        leaves, treedef, order = _buckets(updates)
+        flat_u = _flatten(leaves, order)
+        flat_p = None
+        if params is not None:
+            p_leaves, _, p_order = _buckets(params)
+            flat_p = _flatten(p_leaves, p_order)
+        flat_dir, new_state = inner.update(flat_u, state, flat_p)
+        return _unflatten(flat_dir, leaves, treedef, order), new_state
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(optim_dict: Dict[str, Any]) -> optax.GradientTransformation:
-    """Config dict {'name': 'Adam', 'lr': ..., ...} → lr-less direction tx."""
+    """Config dict {'name': 'Adam', 'lr': ..., ...} → lr-less direction tx.
+
+    ``fused: true`` wraps the transformation in :func:`flatten_tx` —
+    bit-identical update, ~200× fewer optimizer ops per step. Note the
+    opt_state pytree differs from the per-leaf form, so a checkpoint written
+    with one setting does not resume under the other."""
+    fused = bool(optim_dict.get("fused", False))
+    tx = _build_optimizer_impl(optim_dict)
+    return flatten_tx(tx) if fused else tx
+
+
+def _build_optimizer_impl(optim_dict: Dict[str, Any]) -> optax.GradientTransformation:
     name = optim_dict["name"]
     wd = float(optim_dict.get("weight_decay", 0.0))
     if name == "Adam":
