@@ -97,3 +97,42 @@ def test_flat_under_jit_and_grad_dtype():
     # second call hits the jit cache with the updated state
     p3, _ = step(p2, st2, g)
     assert np.isfinite(np.asarray(jax.tree_util.tree_leaves(p3)[0])).all()
+
+
+def test_fused_trainer_save_resume(tmp_path):
+    """A Trainer built with Optim.fused=True survives a save→resume cycle:
+    the flat opt_state round-trips through the packed checkpoint and the
+    resumed run continues the CSV (same contract as the per-leaf resume
+    test in test_trainers.py)."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from helpers import make_synthetic_acdc
+    from dct_tpu.data import MedicalImageDataset
+    from dct_tpu.losses import get_loss_fn
+    from dct_tpu.models import Segmentator
+    from dct_tpu.train import Trainer
+
+    root = make_synthetic_acdc(tmp_path / "acdc", size=32)
+    tr_ds = MedicalImageDataset(root, "train", transform=(32, 32), quite=True)
+    va_ds = MedicalImageDataset(root, "val", transform=(32, 32), quite=True)
+    datasets = {"train": tr_ds, "val": va_ds}
+
+    adam_fused = {"name": "Adam", "lr": 1e-3, "weight_decay": 1e-4,
+                  "fused": True}
+    step = {"name": "StepLR", "step_size": 90, "gamma": 0.1}
+    arch = {"name": "enet", "num_classes": 4}
+    run = tmp_path / "run"
+
+    seg = Segmentator(arch, adam_fused, step, jax.random.PRNGKey(0),
+                      input_shape=(1, 32, 32, 1))
+    Trainer(seg, datasets, get_loss_fn("cross_entropy"), max_epoch=1,
+            save_dir=run, batch_size=4, axises=[1, 2, 3]).start_training()
+
+    seg2 = Segmentator(arch, adam_fused, step, jax.random.PRNGKey(1),
+                       input_shape=(1, 32, 32, 1))
+    tr2 = Trainer(seg2, datasets, get_loss_fn("cross_entropy"), max_epoch=2,
+                  save_dir=run, batch_size=4, axises=[1, 2, 3],
+                  checkpoint=str(run / "last.ckpt"))
+    assert tr2.start_epoch == 1
+    df = tr2.start_training()
+    assert list(df["epoch"]) == [0, 1]
