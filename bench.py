@@ -78,12 +78,16 @@ def main() -> None:
     for c in range(calls):
         state, m = epoch_fn(state, img_u8, gt_u8, *batch_idx(),
                             jax.random.fold_in(key, c), 1e-3, 0.5, 0.05)
-    np.asarray(m["sup_loss"])
+    sup_final = np.asarray(m["sup_loss"])
     np.asarray(jax.tree_util.tree_leaves(state["params"])[0])
     dt = time.perf_counter() - t0
 
     images = (K * B + Bu) * T * calls
     ips = images / dt
+    # a NaN-poisoned step can be *faster* than a healthy one — never let the
+    # headline number report a broken run
+    assert np.isfinite(sup_final).all() and np.isfinite(np.asarray(m["jsd_loss"])).all() \
+        and np.isfinite(np.asarray(m["adv_loss"])).all(), "non-finite losses in bench epoch"
 
     # ---- MFU: XLA-counted FLOPs of the compiled epoch vs the chip's bf16
     # peak (v5e: 197 TFLOP/s). ENet's 13/16/32-channel stages keep this low

@@ -227,6 +227,7 @@ class CoTrainerCity:
                  seed: int = 1234,
                  augmentations: Optional[dict] = None,
                  whole_config: Optional[dict] = None,
+                 nan_policy: str = "warn",
                  mesh=None) -> None:
         assert len(segmentators) == len(labeled_datasets)
         self.K = len(segmentators)
@@ -264,6 +265,7 @@ class CoTrainerCity:
         # the most compute-hungry one, so this trainer shards too. The K
         # model axis stays vmapped/replicated (model-parallel city would
         # need a shard_map port of the two-direction adv mix).
+        self.nan_policy = nan_policy
         self.mesh = mesh
         rep = None
         if mesh is not None:
@@ -370,6 +372,11 @@ class CoTrainerCity:
             self.cot_scheduler.step()
             self.adv_scheduler.step()
 
+            from ..utils.general import check_finite_losses
+            check_finite_losses({"sup": np.asarray(m["sup_loss"]),
+                                 "jsd": np.asarray(m["jsd_loss"]),
+                                 "adv": np.asarray(m["adv_loss"])},
+                                epoch, self.nan_policy)
             row = {"epoch": epoch,
                    **{f"val_mIoU_{s}": val[s]["Mean_IoU"] for s in range(self.K)},
                    **{f"val_acc_{s}": val[s]["Overall_Acc"] for s in range(self.K)},

@@ -29,6 +29,7 @@ from ..data.dataset import MedicalImageDataset
 from ..data.pipeline import DeviceDataset, InfiniteBatcher, PatientBuckets
 from ..models.segmentator import Segmentator, stack_states, unstack_states
 from ..schedules import get_weight_scheduler
+from ..utils.general import check_finite_losses
 from ..utils.logging import RateMeter, ScalarWriter
 from .steps import (make_cotrain_epoch, make_eval_all_models_step,
                     make_eval_all_step, make_eval_patient_step)
@@ -59,6 +60,7 @@ class CoTrainer:
                  mesh=None,
                  fuse_forward: bool = True,
                  iters_per_dispatch: Optional[int] = None,
+                 nan_policy: str = "warn",
                  whole_config: Optional[dict] = None) -> None:
         assert len(segmentators) == len(labeled_datasets)
         assert len(segmentators) >= 1
@@ -84,6 +86,7 @@ class CoTrainer:
         # (exact semantics; see train/steps.py fuse_forward). Config knob:
         # Trainer.fuse_forward.
         self.fuse_forward = bool(fuse_forward)
+        self.nan_policy = nan_policy
         # split each training epoch into ceil(T/iters_per_dispatch) equal jit
         # calls (state threaded through; ONE compile reused since every chunk
         # has the same static length). Long single dispatches at 512²+ (~2min
@@ -221,6 +224,10 @@ class CoTrainer:
         for epoch in range(self.start_epoch, self.max_epoch):
             t0 = time.time()
             train_m = self._train_epoch(epoch, epoch_fn, train_jsd, train_adv)
+            check_finite_losses({"sup": train_m["sup_loss"],
+                                 "jsd": train_m["jsd_loss"],
+                                 "adv": train_m["adv_loss"]},
+                                epoch, self.nan_policy)
             t_eval0 = time.time()
             val_m = self._eval_epoch(epoch, save_val)
             t_eval = time.time() - t_eval0

@@ -131,6 +131,7 @@ class MeanTeacherTrainer:
                  ema_alpha: float = 0.99,
                  seed: int = 1234,
                  whole_config: Optional[dict] = None,
+                 nan_policy: str = "warn",
                  mesh=None) -> None:
         self.student = student_segmentator
         self.teacher = teacher_segmentator
@@ -156,6 +157,7 @@ class MeanTeacherTrainer:
         # optional GSPMD DP (ref wraps every trainer's model in DataParallel,
         # ref:models/segmentators.py:34-36): data replicated, per-epoch batch
         # indices sharded over 'data' in start_training
+        self.nan_policy = nan_policy
         self.mesh = mesh
         rep = None
         if mesh is not None:
@@ -218,6 +220,10 @@ class MeanTeacherTrainer:
             self.student.scheduler_step()
             self.con_scheduler.step()
 
+            from ..utils.general import check_finite_losses
+            check_finite_losses({"sup": np.asarray(m["sup_loss"]),
+                                 "con": np.asarray(m["con_loss"])},
+                                epoch, self.nan_policy)
             row = {"epoch": epoch,
                    "tra_student_loss": float(np.mean(np.asarray(m["sup_loss"]))),
                    "tra_con_loss": float(np.mean(np.asarray(m["con_loss"]))),

@@ -26,7 +26,7 @@ from ..utils.logging import resume_records
 from ..data.dataset import MedicalImageDataset
 from ..data.pipeline import DeviceDataset, EpochBatcher, PatientBuckets
 from ..models.segmentator import Segmentator
-from ..utils.general import save_images
+from ..utils.general import check_finite_losses, save_images
 from .steps import make_eval_all_step, make_eval_patient_step, make_supervised_epoch
 
 DEFAULT_GRP_REGEX = r"(patient\d+_\d+)_\d+"
@@ -45,6 +45,7 @@ class Trainer:
                  grp_regex: str = DEFAULT_GRP_REGEX,
                  seed: int = 1234,
                  whole_config: Optional[dict] = None,
+                 nan_policy: str = "warn",
                  mesh=None) -> None:
         self.segmentator = segmentator
         self.criterion = criterion
@@ -67,6 +68,7 @@ class Trainer:
         # mesh 'data' axis, params/data replicated — the partitioner inserts
         # the gradient psum (the DataParallel the reference applies to EVERY
         # trainer's model, ref:models/segmentators.py:34-36)
+        self.nan_policy = nan_policy
         self.mesh = mesh
         rep = None
         if mesh is not None:
@@ -105,6 +107,8 @@ class Trainer:
         for epoch in range(self.start_epoch, self.max_epoch):
             t0 = time.time()
             train_metrics = self._train_epoch(epoch, augment_labeled_data)
+            check_finite_losses({"train": train_metrics["loss"]}, epoch,
+                                self.nan_policy)
             t_eval0 = time.time()
             val_metrics = self._eval_epoch(epoch, save_val)
             t_eval = time.time() - t_eval0

@@ -107,6 +107,7 @@ class VatTrainer:
                  grp_regex: str = DEFAULT_GRP_REGEX,
                  seed: int = 1234,
                  whole_config: Optional[dict] = None,
+                 nan_policy: str = "warn",
                  mesh=None) -> None:
         self.segmentator = segmentator
         self.criterion = criterion
@@ -132,6 +133,7 @@ class VatTrainer:
 
         # optional GSPMD DP (ref wraps every trainer's model in DataParallel,
         # ref:models/segmentators.py:34-36)
+        self.nan_policy = nan_policy
         self.mesh = mesh
         rep = None
         if mesh is not None:
@@ -205,6 +207,10 @@ class VatTrainer:
             self.segmentator.scheduler_step()
             self.adv_scheduler.step()
 
+            from ..utils.general import check_finite_losses
+            check_finite_losses({"sup": np.asarray(m["sup_loss"]),
+                                 "adv": np.asarray(m["adv_loss"])},
+                                epoch, self.nan_policy)
             row = {"epoch": epoch,
                    "sup_loss": float(np.mean(np.asarray(m["sup_loss"]))),
                    "adv_loss": float(np.mean(np.asarray(m["adv_loss"]))),

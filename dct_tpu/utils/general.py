@@ -163,3 +163,29 @@ def save_images(segs: Union[np.ndarray, jnp.ndarray], names: Iterable[str],
             save_path = Path(root, f"iter{iter:03d}", mode, seg_num, name).with_suffix(".png")
         save_path.parent.mkdir(parents=True, exist_ok=True)
         Image.fromarray(seg).save(str(save_path))
+
+
+def check_finite_losses(losses: dict, epoch: int, policy: str = "warn") -> bool:
+    """Per-epoch training-loss health guard (no reference equivalent).
+
+    The TPU tunnel has produced NaN-from-iteration-0 binaries on fresh
+    bf16-512² compiles (BASELINE.md, 2026-08-21) — a silently-NaN run wastes
+    hours and its checkpoints poison downstream summaries. The loss metrics
+    are already fetched to host once per epoch, so the check is free.
+
+    ``policy``: "warn" (default) prints a loud line and keeps going,
+    "abort" raises FloatingPointError, "ignore" disables. Returns True when
+    every entry is finite.
+    """
+    bad = sorted(k for k, v in losses.items()
+                 if not np.all(np.isfinite(np.asarray(v))))
+    if not bad:
+        return True
+    msg = (f"!! non-finite training losses at epoch {epoch}: {bad} — "
+           "if this is a fresh-compile NaN on the tunnel chip, re-launching "
+           "usually clears it (see BASELINE.md 512² ladder triage)")
+    if policy == "abort":
+        raise FloatingPointError(msg)
+    if policy != "ignore":
+        print(msg, flush=True)
+    return False

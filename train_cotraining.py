@@ -86,6 +86,7 @@ def main(argv=None) -> CoTrainer:
         mesh=mesh,
         fuse_forward=bool(trainer_cfg.get("fuse_forward", True)),
         iters_per_dispatch=trainer_cfg.get("iters_per_dispatch"),
+        nan_policy=trainer_cfg.get("nan_policy", "warn"),
         whole_config=config,
     )
     cotrainer.start_training(**config["StartTraining"])

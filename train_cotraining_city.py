@@ -76,6 +76,7 @@ def main(argv=None) -> CoTrainerCity:
         batch_size=int(config["Lab_Dataloader"]["batch_size"]),
         seed=int(config.get("Seed", 1234)),
         augmentations=config["Dataset"].get("augmentations"),
+        nan_policy=trainer_cfg.get("nan_policy", "warn"),
         whole_config=config,
         mesh=mesh,
     )

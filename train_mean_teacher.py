@@ -67,6 +67,7 @@ def main(argv=None) -> MeanTeacherTrainer:
         batch_size=int(config["Lab_Dataloader"]["batch_size"]),
         grp_regex=grp_regex,
         seed=int(config.get("Seed", 1234)),
+        nan_policy=trainer_cfg.get("nan_policy", "warn"),
         whole_config=config,
         mesh=mesh,
     )

@@ -61,6 +61,7 @@ def main(argv=None) -> Trainer:
         batch_size=int(config.get("Dataloader", {}).get("batch_size", 4)),
         grp_regex=grp_regex,
         seed=int(config.get("Seed", 1234)),
+        nan_policy=trainer_cfg.get("nan_policy", "warn"),
         whole_config=config,
         mesh=mesh,
     )

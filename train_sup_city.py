@@ -58,6 +58,7 @@ def main(argv=None) -> TrainerCity:
         batch_size=int(config.get("Dataloader", {}).get("batch_size", 4)),
         seed=int(config.get("Seed", 1234)),
         augmentations=config["Dataset"].get("augmentations"),
+        nan_policy=trainer_cfg.get("nan_policy", "warn"),
         whole_config=config,
         mesh=mesh,
     )
