@@ -55,7 +55,8 @@ def make_shard_cotrain_epoch(seg: Segmentator, mesh: Mesh, K: int, C: int,
                              train_adv: bool, augment: bool,
                              eps_fgsm: float = 0.03,
                              state_template=None,
-                             fuse_forward: bool = True) -> Callable:
+                             fuse_forward: bool = True,
+                             adv_dtype=None) -> Callable:
     n_model = mesh.shape["model"]
     assert K % n_model == 0, f"K={K} not divisible into {n_model} model groups"
     K_local = K // n_model
@@ -79,6 +80,13 @@ def make_shard_cotrain_epoch(seg: Segmentator, mesh: Mesh, K: int, C: int,
                                        in_axes=(None, None, 0)),
                               in_axes=(0, 0, 0))
     bn_m = getattr(seg, "bn_momentum", None)
+    # FGSM-segment dtype override — same knob and rationale as
+    # train/steps.py make_cotrain_epoch(adv_dtype=...).
+    seg_adv = seg
+    if adv_dtype is not None and jnp.dtype(adv_dtype) != seg.compute_dtype:
+        import copy
+        seg_adv = copy.copy(seg)
+        seg_adv.compute_dtype = jnp.dtype(adv_dtype)
 
     def take_model(tree, i):
         return jax.tree_util.tree_map(lambda x: jnp.take(x, i, axis=0), tree)
@@ -181,7 +189,7 @@ def make_shard_cotrain_epoch(seg: Segmentator, mesh: Mesh, K: int, C: int,
                 img_cat = jnp.concatenate([img_b, unlab_img], axis=0)
 
                 def gen_ce(x):
-                    lg, gbs = seg.apply_train(params_b, bs_b, x)
+                    lg, gbs = seg_adv.apply_train(params_b, bs_b, x)
                     pseudo = jnp.argmax(lg[gt_b.shape[0]:], axis=-1)
                     gt_full = jnp.concatenate(
                         [gt_b, jax.lax.stop_gradient(pseudo)], axis=0)
@@ -203,7 +211,7 @@ def make_shard_cotrain_epoch(seg: Segmentator, mesh: Mesh, K: int, C: int,
                 # model a's owner pays/backprops the KL term
                 params_a = take_model(params, a_loc)
                 bs_a = take_model(bs, a_loc)
-                adv_logits, bs2 = seg.apply_train(params_a, bs_a, adv_img)
+                adv_logits, bs2 = seg_adv.apply_train(params_a, bs_a, adv_img)
                 kl = jnp.mean(kl_div_2d(jax.nn.softmax(adv_logits, -1),
                                         real_probs))
                 adv_loss = jax.lax.pmean(kl * (my == a_own).astype(kl.dtype),

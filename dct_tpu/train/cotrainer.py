@@ -59,6 +59,7 @@ class CoTrainer:
                  seed: int = 1234,
                  mesh=None,
                  fuse_forward: bool = True,
+                 adv_dtype: Optional[str] = None,
                  iters_per_dispatch: Optional[int] = None,
                  nan_policy: str = "warn",
                  whole_config: Optional[dict] = None) -> None:
@@ -86,6 +87,10 @@ class CoTrainer:
         # (exact semantics; see train/steps.py fuse_forward). Config knob:
         # Trainer.fuse_forward.
         self.fuse_forward = bool(fuse_forward)
+        # run the FGSM segment in this dtype (None = arch compute_dtype);
+        # "float32" pins the adv term against the bf16-512² tunnel-compiler
+        # NaN (see train/steps.py adv_dtype). Config knob: Trainer.adv_dtype.
+        self.adv_dtype = adv_dtype
         self.nan_policy = nan_policy
         # split each training epoch into ceil(T/iters_per_dispatch) equal jit
         # calls (state threaded through; ONE compile reused since every chunk
@@ -175,14 +180,16 @@ class CoTrainer:
                     self.seg, self.mesh, self.K, self.C, self.criterions["sup"],
                     train_jsd, train_adv, aug_lab, self.eps_fgsm,
                     state_template=self.stacked_state,
-                    fuse_forward=self.fuse_forward)
+                    fuse_forward=self.fuse_forward,
+                    adv_dtype=self.adv_dtype)
                 self._epoch_fns[sig] = ("shard", fn)
             else:
                 fn = make_cotrain_epoch(
                     self.seg, self.K, self.C, self.criterions["sup"],
                     train_jsd, train_adv, aug_lab, aug_unlab, self.eps_fgsm,
                     fuse_aug="split" if self._dp_only else "merged",
-                    fuse_forward=self.fuse_forward)
+                    fuse_forward=self.fuse_forward,
+                    adv_dtype=self.adv_dtype)
                 self._epoch_fns[sig] = ("vmap", fn)
         return self._epoch_fns[sig]
 

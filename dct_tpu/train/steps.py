@@ -260,6 +260,7 @@ def make_cotrain_epoch(seg: Segmentator, K: int, C: int,
                        augment_labeled: bool, augment_unlabeled: bool,
                        eps_fgsm: float = 0.03,
                        fuse_aug="merged", fuse_forward: bool = True,
+                       adv_dtype=None,
                        _dynamic_pair: bool = False) -> Callable:
     """Build the jitted co-training epoch.
 
@@ -297,7 +298,23 @@ def make_cotrain_epoch(seg: Segmentator, K: int, C: int,
     (BASELINE.md conv-efficiency study), fewer-but-bigger convs is the
     win; XLA cannot do this merge itself because the two applies see
     different BN reduction scopes.
+
+    ``adv_dtype`` (config: Trainer.adv_dtype) overrides the compute dtype of
+    the FGSM segment only — generation forward, input gradient, sign step and
+    the adversarial forward — leaving the main pass in the arch's
+    compute_dtype. Motivation (BASELINE.md "512² step-decomposition ladder"):
+    on some tunnel-compiler sessions the bf16 512² binaries produce
+    adv-term NaN from iteration 0 (sup/jsd stay finite and correct) while
+    fp32 is always clean; ``adv_dtype=float32`` pins the fragile segment to
+    fp32 at a fraction of full-fp32's cost (the segment touches 8 of the 24
+    images per step). Same math, higher precision — semantics unchanged.
     """
+    seg_adv = seg
+    if adv_dtype is not None and jnp.dtype(adv_dtype) != seg.compute_dtype:
+        import copy
+        seg_adv = copy.copy(seg)
+        seg_adv.compute_dtype = jnp.dtype(adv_dtype)
+
     vapply_own = jax.vmap(seg.apply_train, in_axes=(0, 0, 0))        # per-model batch
     vapply_shared = jax.vmap(seg.apply_train, in_axes=(0, 0, None))  # shared batch
     # two-group apply: outer vmap over K models, inner over the
@@ -324,7 +341,7 @@ def make_cotrain_epoch(seg: Segmentator, K: int, C: int,
         bs_b = jax.lax.stop_gradient(bs_b)
 
         def ce_of_input(x):
-            logits, new_bs = seg.apply_train(params_b, bs_b, x)
+            logits, new_bs = seg_adv.apply_train(params_b, bs_b, x)
             pseudo = jnp.argmax(logits[gt_b.shape[0]:], axis=-1)
             gt_full = jnp.concatenate([gt_b, jax.lax.stop_gradient(pseudo)], axis=0)
             return sup_loss(logits, gt_full), (logits, new_bs)
@@ -476,7 +493,7 @@ def make_cotrain_epoch(seg: Segmentator, K: int, C: int,
                     bs = put_model(bs, new_bs_b, b)
                     params_a = take_model(params_stack, a)
                     bs_a = take_model(bs, a)
-                    adv_logits, new_bs_a = seg.apply_train(params_a, bs_a, adv_img)
+                    adv_logits, new_bs_a = seg_adv.apply_train(params_a, bs_a, adv_img)
                     bs = put_model(bs, new_bs_a, a)
                     adv_probs = jax.nn.softmax(adv_logits, axis=-1)
                     adv_loss = jnp.mean(kl_div_2d(adv_probs, real_probs))

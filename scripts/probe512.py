@@ -35,6 +35,7 @@ def main(argv):
     fuse = bool(int(kv.get("fuse", "1")))
     aug = bool(int(kv.get("aug", "1")))
     dtype = kv.get("dtype", "bfloat16")
+    adv_dtype = kv.get("adv_dtype")  # e.g. float32: FGSM segment only
     trace_dir = kv.get("trace")
     B = int(kv.get("batch", "2"))
     T = int(kv.get("iters", "5"))
@@ -48,7 +49,8 @@ def main(argv):
     from dct_tpu.train.steps import make_cotrain_epoch
 
     print(f"devices={jax.devices()} remat={remat} batch={B} iters={T} "
-          f"res={H} fuse={fuse} aug={aug} dtype={dtype}", flush=True)
+          f"res={H} fuse={fuse} aug={aug} dtype={dtype} adv_dtype={adv_dtype}",
+          flush=True)
 
     K, C = 2, 2  # spleen: background + spleen
     segs = [Segmentator({"name": "enet", "num_classes": C, "remat": remat,
@@ -81,7 +83,7 @@ def main(argv):
                                   train_jsd=True, train_adv=True,
                                   augment_labeled=aug, augment_unlabeled=aug,
                                   eps_fgsm=0.03, fuse_aug="merged" if aug else False,
-                                  fuse_forward=fuse)
+                                  fuse_forward=fuse, adv_dtype=adv_dtype)
     t0 = time.time()
     new_state, metrics = epoch_fn(state, img_u8, gt_u8, idx_lab, idx_unlab,
                                   pairs, jax.random.PRNGKey(0),
@@ -112,7 +114,8 @@ def main(argv):
               f"adv={np.ravel(adv[t])}", flush=True)
     ok = np.isfinite(sup).all() and np.isfinite(jsd).all() and np.isfinite(adv).all()
     print(f"RESULT remat={remat} batch={B} res={H} fuse={fuse} aug={aug} "
-          f"dtype={dtype}: {'CLEAN' if ok else 'NAN'}", flush=True)
+          f"dtype={dtype} adv_dtype={adv_dtype}: {'CLEAN' if ok else 'NAN'}",
+          flush=True)
     return 0 if ok else 2
 
 

@@ -125,6 +125,60 @@ def test_fuse_forward_matches_unfused(rng):
             assert d < tol, (which, d)
 
 
+def test_adv_dtype_pins_fgsm_segment_to_f32(rng):
+    """``adv_dtype="float32"`` on a bf16 model must run the FGSM segment
+    (generation forward, input grad, adversarial forward) in fp32.
+
+    Observable: at iteration 0 the adv term depends only on the initial
+    params and the input batch (BN train-mode normalization uses batch
+    stats, so the main pass does not feed it), so a bf16 model with
+    adv_dtype=float32 must reproduce a full-fp32 model's adv_loss to fp32
+    reassociation noise — while the plain-bf16 adv term only agrees at
+    bf16 precision. Motivation: the bf16-512² tunnel-compiler adv-NaN
+    (BASELINE.md 512² ladder); this knob pins the fragile segment."""
+    from dct_tpu.train.steps import make_cotrain_epoch
+
+    def build_dt(dt):
+        segs = [Segmentator({"name": "enet", "num_classes": 4,
+                             "compute_dtype": dt}, ADAM, STEP,
+                            jax.random.PRNGKey(i), input_shape=(1, H, H, 1))
+                for i in range(K)]
+        st = stack_states([{"params": s.state["params"],
+                            "batch_stats": s.state["batch_stats"]}
+                           for s in segs])
+        return segs[0], {"params": st["params"],
+                         "batch_stats": st["batch_stats"],
+                         "opt_state": segs[0].tx.init(st["params"])}
+
+    rs = np.random.RandomState(7)
+    N, T, Bb = 16, 1, 2
+    img = jnp.asarray(rs.randint(0, 255, (N, H, H), dtype=np.uint8))
+    gt = jnp.asarray(rs.randint(0, 4, (N, H, H)).astype(np.uint8))
+    idx_lab = rs.randint(0, N, (T, K, Bb)).astype(np.int32)
+    idx_unlab = rs.randint(0, N, (T, Bb)).astype(np.int32)
+    pairs = np.tile(np.array([0, 1], np.int32), (T, 1))
+    args = (img, gt, idx_lab, idx_unlab, pairs, jax.random.PRNGKey(0),
+            1e-3, 0.5, 0.05)
+    ce = get_loss_fn("cross_entropy")
+
+    def adv0(dt, adv_dtype):
+        seg, state = build_dt(dt)
+        fn = make_cotrain_epoch(seg, K, 4, ce, True, True, False, False,
+                                0.03, adv_dtype=adv_dtype)
+        _, m = fn(state, *args)
+        assert np.isfinite(np.asarray(m["sup_loss"])).all()
+        return float(np.asarray(m["adv_loss"])[0])
+
+    adv_f32 = adv0("float32", None)
+    adv_mixed = adv0("bfloat16", "float32")
+    adv_bf16 = adv0("bfloat16", None)
+    assert np.isfinite([adv_f32, adv_mixed, adv_bf16]).all()
+    # the pinned segment reproduces full-fp32 to reassociation noise
+    np.testing.assert_allclose(adv_mixed, adv_f32, rtol=1e-5, atol=1e-6)
+    # sanity: the knob is a no-op when it matches the compute dtype
+    assert adv0("float32", "float32") == adv_f32
+
+
 def test_fuse_forward_falls_back_when_batches_differ(rng):
     """B != Bu must silently take the sequential path (shape-gated)."""
     from dct_tpu.models import stack_states

@@ -85,6 +85,7 @@ def main(argv=None) -> CoTrainer:
         seed=int(config.get("Seed", 1234)),
         mesh=mesh,
         fuse_forward=bool(trainer_cfg.get("fuse_forward", True)),
+        adv_dtype=trainer_cfg.get("adv_dtype"),
         iters_per_dispatch=trainer_cfg.get("iters_per_dispatch"),
         nan_policy=trainer_cfg.get("nan_policy", "warn"),
         whole_config=config,
