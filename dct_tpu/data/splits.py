@@ -101,10 +101,48 @@ def get_gmc_split_datasets(config: Dict):
     return labeled_sets, unlab_set, val_set
 
 
+def get_prostate_split_datasets(config: Dict):
+    """PROSTATE (PROMISE12 slices, ``Case%.2d_0_%.2d`` stems): ratio split
+    over the Case ids actually present (the bundled tree skips some ids, so
+    the ACDC 1..100 arithmetic can't apply). The reference registers the
+    dataset root (ref:dataset/__init__.py:29) and ships the slicer
+    (ref:dataset/PROSTATE/slice_promise.py) but no dedicated helper — this
+    applies the ACDC ratio scheme (ref:ACDC_helper.py:85-115, same
+    permutation→choice np.random call order) to the present-case alphabet."""
+    ds_cfg = dict(config["Dataset"])
+    ratio = float(config["Lab_Partitions"]["partition_sets"])
+    n_models = int(config["Lab_Partitions"]["num_models"])
+    overlap = float(config["Lab_Partitions"]["partition_overlap"])
+    root = ds_cfg.pop("root_dir", "dataset/PROSTATE")
+    ds_cfg.pop("name", None)
+    train_set = MedicalImageDataset(root, "train", **ds_cfg)
+    val_set = MedicalImageDataset(root, "val", **{**ds_cfg, "quite": True})
+
+    case_pat = re.compile(r"(Case\d+)_")
+    cases = sorted({case_pat.match(f).group(1) for f in train_set.filenames})
+    n_lab = max(1, int(len(cases) * ratio))
+    lab_cases, unlab_cases = cases[:n_lab], cases[n_lab:]
+
+    rd_idx = np.random.permutation(lab_cases)
+    overlap_idx = np.random.choice(rd_idx, size=int(overlap * len(lab_cases)),
+                                   replace=False)
+    exclusive = [x for x in rd_idx if x not in overlap_idx]
+    per_model = int(len(exclusive) / n_models) if n_models else 0
+    parts = [list(overlap_idx) + exclusive[i * per_model:(i + 1) * per_model]
+             for i in range(n_models)]
+    labeled_sets = [train_set.filter_by_patterns(sorted(p)) for p in parts]
+    unlab_set = train_set.filter_by_patterns(sorted(unlab_cases))
+    print(f"labeled cases: {len(lab_cases)}  unlabeled cases: {len(unlab_cases)}")
+    print(f"{n_models} datasets with overlap labeled case number",
+          len(reduce(lambda x, y: x & y, [set(p) for p in parts])))
+    return labeled_sets, unlab_set, val_set
+
+
 SPLIT_BUILDERS = {
     "acdc": get_acdc_split_datasets,
     "spleen": get_spleen_split_datasets,
     "gm": get_gmc_split_datasets,
+    "prostate": get_prostate_split_datasets,
 }
 
 

@@ -235,6 +235,8 @@ class CoTrainer:
                                  "jsd": train_m["jsd_loss"],
                                  "adv": train_m["adv_loss"]},
                                 epoch, self.nan_policy)
+            if save_train:
+                self._save_train_predictions(epoch, train_jsd)
             t_eval0 = time.time()
             val_m = self._eval_epoch(epoch, save_val)
             t_eval = time.time() - t_eval0
@@ -371,18 +373,76 @@ class CoTrainer:
                                "batch_stats": self.stacked_state["batch_stats"]},
                               self.K)
 
-    def _eval_epoch(self, epoch: int, save: bool = False) -> Dict:
+    def _replicated_stacked(self):
+        """(params, batch_stats), all-gathered to replicated if the mesh
+        shards the model axis (GSPMD can't split the vmapped eval's grouped
+        convs along 'model')."""
         params = self.stacked_state["params"]
         bstats = self.stacked_state["batch_stats"]
         if self.mesh is not None and self.mesh.shape.get("model", 1) > 1:
-            # model-sharded state: the vmapped eval lowers to grouped convs
-            # GSPMD can't partition along 'model' — all-gather the (small)
-            # params to replicated once, then the SAME single-dispatch
-            # eval_all_models call below applies
             from jax.sharding import NamedSharding, PartitionSpec
             rep = NamedSharding(self.mesh, PartitionSpec())
             params = jax.device_put(params, rep)
             bstats = jax.device_put(bstats, rep)
+        return params, bstats
+
+    _DUMP_CHUNK = 16   # padded slice-chunk length for whole-stream dumps
+
+    def _dump_stream(self, dev, epoch: int, mode: str, models=None) -> None:
+        """PNG class-map dumps for one data stream by the given models
+        (ref:cotraining_totalloss.py:214-216,229-231 — the reference dumps
+        per-iteration mid-epoch predictions; here predictions are recomputed
+        in one deterministic pass with the epoch's final params, trading the
+        reference's 300 host syncs for a few chunked eval dispatches)."""
+        from ..utils.general import save_images
+
+        params, bstats = self._replicated_stacked()
+        states = unstack_states({"params": params, "batch_stats": bstats},
+                                self.K)
+        n, L = len(dev), self._DUMP_CHUNK
+        for start in range(0, n, L):
+            idx = np.arange(start, start + L, dtype=np.int32)
+            mask = idx < n
+            idx = np.minimum(idx, n - 1)
+            for i in (range(self.K) if models is None else models):
+                st = states[i]
+                out = self.eval_step(st["params"], st["batch_stats"],
+                                     dev.img, dev.gt, jnp.asarray(idx),
+                                     jnp.asarray(mask))
+                preds = np.asarray(out["pred"])[mask]
+                names = [dev.filenames[j] for j in idx[mask]]
+                save_images(preds, names, self.save_dir, mode,
+                            iter=epoch, seg_num=str(i))
+
+    def _save_train_predictions(self, epoch: int, train_jsd: bool) -> None:
+        """``save_train``: model i dumps its own labeled stream (mode
+        'train', ref:cotraining_totalloss.py:214-216) +, when the JSD branch
+        is active, every model dumps the unlabeled stream (mode 'unlab',
+        ref::227-231)."""
+        for i, dev in enumerate(self.lab_dev):
+            self._dump_stream(dev, epoch, "train", models=[i])
+        if train_jsd:
+            self._dump_stream(self.unlab_dev, epoch, "unlab")
+
+    def _eval_epoch(self, epoch: int, save: bool = False) -> Dict:
+        params, bstats = self._replicated_stacked()
+        if save:
+            # slow path (ref:cotraining_totalloss.py:301-303): per-model,
+            # per-patient eval that materializes the argmax maps as PNGs
+            from ..utils.general import save_images
+            states = unstack_states({"params": params, "batch_stats": bstats},
+                                    self.K)
+            for p in range(len(self.val_buckets)):
+                idx = self.val_buckets.indices[p]
+                mask = self.val_buckets.mask[p]
+                for i, st in enumerate(states):
+                    out = self.eval_step(st["params"], st["batch_stats"],
+                                         self.val_dev.img, self.val_dev.gt,
+                                         jnp.asarray(idx), jnp.asarray(mask))
+                    preds = np.asarray(out["pred"])[mask]
+                    names = [self.val_set.filenames[j] for j in idx[mask]]
+                    save_images(preds, names, self.save_dir, "eval",
+                                iter=epoch, seg_num=str(i))
         # all K models × all patient buckets in one jit call (the gather and
         # one-hot gt are shared across the vmapped model axis)
         out = self.eval_all_models(
