@@ -40,11 +40,17 @@ from ..utils.general import class2one_hot, dice_coef, probs2one_hot
 
 
 def _masked_ce(logits, gt, mask, weight=None):
-    """CE over valid slices only (padded patient buckets)."""
+    """CE over valid slices only (padded patient buckets).
+
+    One-hot select instead of take_along_axis — same rewrite as
+    losses.cross_entropy2d (gather + backward scatter are the expensive
+    forms on TPU; the class-axis compare fuses away)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, gt[..., None], axis=-1)[..., 0]
+    onehot = gt[..., None] == jnp.arange(logits.shape[-1], dtype=gt.dtype)
+    nll = -jnp.sum(jnp.where(onehot, logp, 0), axis=-1)
     if weight is not None:
-        w = jnp.asarray(weight, logits.dtype)[gt]
+        wv = jnp.asarray(weight, logits.dtype)
+        w = jnp.sum(jnp.where(onehot, wv, 0), axis=-1)
     else:
         w = jnp.ones_like(nll)
     w = w * mask[:, None, None]

@@ -44,6 +44,37 @@ class TestPooling:
         p1, _ = max_pool_2x2_with_mask(x)
         assert np.allclose(np.asarray(p1), np.asarray(max_pool_2x2(x)))
 
+    def test_impls_bit_identical_and_torch_tiebreak(self, rng):
+        """The "slices" and "s2d" window-split formulations (pooling.IMPL)
+        must agree bit-for-bit, including torch's first-row-major tie-break
+        on quantized (tie-heavy) inputs."""
+        import torch
+        import torch.nn.functional as F
+
+        from dct_tpu.ops import pooling as pool_mod
+
+        x_np = np.round(np.random.RandomState(3).rand(2, 8, 10, 3) * 4) / 4
+        x = jnp.asarray(x_np, jnp.float32)
+        outs = {}
+        prev = pool_mod.IMPL
+        try:
+            for impl in ("slices", "s2d"):
+                pool_mod.IMPL = impl
+                p, m = jax.jit(max_pool_2x2_with_mask)(x)
+                u = jax.jit(mask_unpool_2x2)(p, m)
+                outs[impl] = (np.asarray(p), np.asarray(m), np.asarray(u))
+        finally:
+            pool_mod.IMPL = prev
+        for a, b in zip(outs["slices"], outs["s2d"]):
+            np.testing.assert_array_equal(a, b)
+        xt = torch.tensor(x_np.transpose(0, 3, 1, 2), dtype=torch.float32)
+        pt, it = F.max_pool2d(xt, 2, 2, return_indices=True)
+        ut = F.max_unpool2d(pt, it, 2)
+        np.testing.assert_allclose(outs["slices"][0],
+                                   pt.numpy().transpose(0, 2, 3, 1), rtol=0, atol=0)
+        np.testing.assert_allclose(outs["slices"][2],
+                                   ut.numpy().transpose(0, 2, 3, 1), rtol=0, atol=0)
+
     def test_grad_flows_through_unpool(self, rng):
         x = jax.random.normal(rng, (1, 4, 4, 1))
 
